@@ -1,0 +1,269 @@
+"""Deterministic synthetic input tables (no external data).
+
+Generates the graft input table from BASELINE.json ``input_hint`` —
+``(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+caption:string, phash:int64)`` — plus vector feature tables
+(``feature_id, geom_wkb, luokka, seq``) per FIXTURES.md §2-3.
+
+Determinism rules (required for local[8] == local[32] output equality):
+every pixel/point value is a pure function of absolute world coordinates
+through an integer hash (splitmix64) — never of partition, order, or RNG
+stream state.  One image = one 1 km raster tile; the caption carries the
+georeferencing: ``"<tile_name>;<minx>;<miny>;<maxx>;<maxy>;<cellsize>;<nodata>"``.
+
+At test scale this writes Parquet directly via pyarrow; the same
+per-tile core (:func:`gen_tile_rows`) is what the Spark path fans out
+with ``mapInPandas`` for large tile counts (engine/points.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from .gridlib import topodb
+from .gridlib.phash import phash64
+from .gridlib.png import dem_to_png16
+from .gridlib.tilenamer import tile_decode, tile_encode
+from .gridlib.wkb import encode_linestring, encode_polygon
+
+# anchor area: the reference's L4133 map tile (RasteriserEvenOdd fixture)
+ANCHOR_E = 380000
+ANCHOR_N = 6666000
+TILE_M = 1000  # one image = one 1 km tile
+Z_MIN, Z_MAX = 0.0, 500.0  # DEM quantization range for 16-bit PNG tiles
+
+CAPTION_FMT = "{name};{minx};{miny};{maxx};{maxy};{cellsize};{nodata}"
+
+
+def _splitmix64(v: np.ndarray) -> np.ndarray:
+    """Deterministic integer hash (public splitmix64 mixer)."""
+    v = v.astype(np.uint64)
+    v = (v + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = v
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    return z ^ (z >> np.uint64(31))
+
+
+def hash01(*ints: np.ndarray) -> np.ndarray:
+    """Combine integer arrays -> uniform [0,1) doubles, coordinate-pure."""
+    acc = np.zeros_like(np.broadcast_arrays(*ints)[0], dtype=np.uint64)
+    for arr in ints:
+        acc = _splitmix64(acc ^ np.asarray(arr, dtype=np.int64).view(np.uint64))
+    return (acc >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def terrain_z(e: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Smooth deterministic pseudo-terrain + coordinate-hashed micro-noise."""
+    e = np.asarray(e, dtype=np.float64)
+    n = np.asarray(n, dtype=np.float64)
+    z = (
+        180.0
+        + 40.0 * np.sin(e / 700.0) * np.cos(n / 900.0)
+        + 18.0 * np.sin(n / 290.0)
+        + 9.0 * np.cos(e / 130.0) * np.sin(n / 170.0)
+    )
+    noise = hash01((e * 100).astype(np.int64), (n * 100).astype(np.int64)) - 0.5
+    return z + 0.4 * noise
+
+
+def tile_names(n_tiles: int) -> list[str]:
+    """First n tiles of a row-major 1 km grid anchored at L4133."""
+    k = int(np.ceil(np.sqrt(n_tiles)))
+    names = []
+    for i in range(n_tiles):
+        e = ANCHOR_E + (i % k) * TILE_M
+        n = ANCHOR_N + (i // k) * TILE_M
+        names.append(tile_encode(e, n, TILE_M))
+    return names
+
+
+def gen_tile_rows(names: list[str], px: int = 128) -> pd.DataFrame:
+    """Per-tile core: tile names -> image-table rows (the input_hint shape).
+
+    Pixel (r, c) covers the cell at world (minx + c*cs, miny + r*cs);
+    pixel value = quantized terrain height at the cell center.
+    """
+    rows = []
+    for name in names:
+        minx, miny, maxx, maxy = tile_decode(name)
+        cs = (maxx - minx) / px
+        cols, rws = np.meshgrid(np.arange(px), np.arange(px))
+        ex = minx + (cols + 0.5) * cs
+        ny = miny + (rws + 0.5) * cs
+        dem = terrain_z(ex, ny).astype(np.float32)
+        data = dem_to_png16(dem, Z_MIN, Z_MAX)
+        caption = CAPTION_FMT.format(
+            name=name, minx=minx, miny=miny, maxx=maxx, maxy=maxy,
+            cellsize=cs, nodata=-9999,
+        )
+        rows.append(
+            {
+                "image_id": name,
+                "bytes": data,
+                "w": np.int32(px),
+                "h": np.int32(px),
+                "fmt": "png16",
+                "caption": caption,
+                "phash": np.int64(phash64(dem)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def parse_caption(caption: str):
+    name, minx, miny, maxx, maxy, cellsize, nodata = caption.split(";")
+    return name, int(minx), int(miny), int(maxx), int(maxy), float(cellsize), float(nodata)
+
+
+# point sampling: which pixels are "LIDAR returns" and their class --------
+
+BASE_RATE = 0.08
+DENSE_RATE = 0.45  # a few "urban" tiles for skew tests (FIXTURES.md §1)
+
+
+def is_dense_tile(name: str) -> bool:
+    h = _splitmix64(np.frombuffer(name.encode().ljust(8, b"\0")[:8], dtype=np.uint64))
+    return bool(h % np.uint64(10) == 0)  # ~10% of tiles are dense
+
+
+def sample_points_from_tile(
+    name: str, dem: np.ndarray, minx: int, miny: int, cellsize: float
+):
+    """Decode-to-points: pixel -> point at cell center; deterministic
+    subsample + class assignment (ground 80%, veg 3/4/5)."""
+    px = dem.shape[0]
+    cols, rws = np.meshgrid(np.arange(px), np.arange(px))
+    ex = minx + (cols + 0.5) * cellsize
+    ny = miny + (rws + 0.5) * cellsize
+    u = hash01((ex * 100).astype(np.int64) + 7, (ny * 100).astype(np.int64))
+    rate = DENSE_RATE if is_dense_tile(name) else BASE_RATE
+    sel = u < rate
+    x = ex[sel].ravel()
+    y = ny[sel].ravel()
+    z = dem[sel].ravel().astype(np.float64)
+    v = hash01((x * 100).astype(np.int64) + 13, (y * 100).astype(np.int64))
+    cls = np.full(len(x), topodb.CLS_GROUND, dtype=np.uint8)
+    veg = v >= 0.8
+    cls[veg & (v < 0.88)] = topodb.CLS_LOW_VEGETATION
+    cls[(v >= 0.88) & (v < 0.95)] = topodb.CLS_MEDIUM_VEGETATION
+    cls[v >= 0.95] = topodb.CLS_HIGH_VEGETATION
+    # vegetation points sit above the terrain
+    z = z + np.where(cls == topodb.CLS_GROUND, 0.0, 2.0 + 14.0 * v)
+    return x, y, z, cls
+
+
+# vector features (FIXTURES.md §2) ----------------------------------------
+
+
+def gen_features(area_tiles: list[str], n_polygons: int, n_lines: int):
+    """Seeded polygons (some holed) + polylines over the tile area, with
+    luokka codes from the TopographicDb code books and a ``seq`` overlay
+    rank (V8 last-writer-wins)."""
+    envs = [tile_decode(t) for t in area_tiles]
+    minx = min(e[0] for e in envs)
+    miny = min(e[1] for e in envs)
+    maxx = max(e[2] for e in envs)
+    maxy = max(e[3] for e in envs)
+    rng = np.random.RandomState(42)
+    poly_codes = sorted(topodb.ALL_POLYGON)
+    line_codes = sorted(topodb.ALL_LINE)
+
+    polys = []
+    for fid in range(n_polygons):
+        cx = rng.uniform(minx + 50, maxx - 50)
+        cy = rng.uniform(miny + 50, maxy - 50)
+        nv = rng.randint(4, 12)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(8, 120, nv)
+        xs = np.clip(cx + rad * np.cos(ang), minx, maxx - 0.01)
+        ys = np.clip(cy + rad * np.sin(ang), miny, maxy - 0.01)
+        rings = [(xs, ys)]
+        if rng.rand() < 0.15 and rad.min() > 25:  # a hole
+            hr = rad.min() * 0.4
+            hxs = cx + hr * np.cos(ang)
+            hys = cy + hr * np.sin(ang)
+            rings.append((hxs[::-1], hys[::-1]))
+        polys.append(
+            {
+                "feature_id": fid,
+                "geom_wkb": encode_polygon(
+                    [(np.append(r[0], r[0][0]), np.append(r[1], r[1][0])) for r in rings]
+                ),
+                "luokka": int(poly_codes[rng.randint(len(poly_codes))]),
+                "seq": fid,
+            }
+        )
+
+    lines = []
+    for fid in range(n_lines):
+        nv = rng.randint(2, 20)
+        x0 = rng.uniform(minx + 10, maxx - 10)
+        y0 = rng.uniform(miny + 10, maxy - 10)
+        steps = rng.uniform(-80, 80, (nv - 1, 2))
+        pts = np.vstack([[x0, y0], np.cumsum(steps, axis=0) + [x0, y0]])
+        xs = np.clip(pts[:, 0], minx, maxx - 0.01)
+        ys = np.clip(pts[:, 1], miny, maxy - 0.01)
+        lines.append(
+            {
+                "feature_id": n_polygons + fid,
+                "geom_wkb": encode_linestring(xs, ys),
+                "luokka": int(line_codes[rng.randint(len(line_codes))]),
+                "seq": n_polygons + fid,
+            }
+        )
+    return pd.DataFrame(polys), pd.DataFrame(lines)
+
+
+# table writer --------------------------------------------------------------
+
+SF_TILES = {0.001: 9, 0.01: 36, 0.1: 256}
+
+
+def ensure_images_table(sf: float, base_dir: str = "/root/repo/.cache") -> str:
+    """Write (once) and return the path of the deterministic images table
+    for a scale factor; also writes polygons/lines feature tables."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = SF_TILES.get(sf, max(9, int(2560 * sf)))
+    out = os.path.join(base_dir, f"images_sf{sf}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    names = tile_names(n)
+    df = gen_tile_rows(names)
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+        os.path.join(out, "images.parquet"),
+    )
+    pdf, ldf = gen_features(names, n_polygons=max(40, 8 * n), n_lines=max(40, 8 * n))
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(out, "polygons.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(ldf, preserve_index=False),
+        os.path.join(out, "lines.parquet"),
+    )
+    open(marker, "w").close()
+    return out

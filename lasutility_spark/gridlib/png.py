@@ -1,0 +1,134 @@
+"""Minimal deterministic PNG codec (grayscale 8/16-bit), stdlib-only.
+
+PIL is not available in this environment, so tile images are encoded with
+a small implementation of the public PNG spec (RFC 2083): IHDR/IDAT/IEND
+chunks, zlib-compressed scanlines, filter type 0 on write (decode supports
+filters 0-4).  Color type 0 (grayscale); 8-bit for class rasters
+(ByteRaster analog, S9 ByteRaster.cs:124-153) and 16-bit for quantized
+DEM tiles.  Deterministic: fixed zlib level, no ancillary chunks.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """2-D uint8 or uint16 array -> grayscale PNG bytes (deterministic)."""
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("expected 2-D grayscale array")
+    if img.dtype == np.uint8:
+        depth = 8
+        raw = img
+    elif img.dtype == np.uint16:
+        depth = 16
+        raw = img.byteswap() if img.dtype.byteorder in ("<", "=") else img
+        raw = img.astype(">u2")
+    else:
+        raise ValueError(f"unsupported dtype {img.dtype}")
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    # filter byte 0 per scanline
+    body = b"".join(b"\x00" + raw[r].tobytes() for r in range(h))
+    idat = zlib.compress(body, 6)
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Grayscale PNG bytes -> 2-D uint8/uint16 array (filters 0-4)."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = depth = ctype = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", payload)
+            if ctype != 0 or comp != 0 or filt != 0 or inter != 0:
+                raise ValueError("only non-interlaced grayscale supported")
+            if depth not in (8, 16):
+                raise ValueError(f"unsupported bit depth {depth}")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    bpp = depth // 8
+    stride = w * bpp
+    raw = zlib.decompress(idat)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for r in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).copy()
+        pos += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ftype}")
+        out[r] = line
+        prev = line
+    if depth == 8:
+        return out.reshape(h, w)
+    return out.reshape(h, w, 2).astype(np.uint16)[:, :, 0] * 256 + out.reshape(
+        h, w, 2
+    ).astype(np.uint16)[:, :, 1]
+
+
+def dem_to_png16(dem: np.ndarray, z_min: float, z_max: float) -> bytes:
+    """Quantize a float DEM (NaN = missing) to 16-bit PNG: 0 reserved for
+    NaN, 1..65535 linear over [z_min, z_max]."""
+    scale = 65534.0 / max(z_max - z_min, 1e-9)
+    q = np.where(
+        np.isnan(dem),
+        0,
+        (np.clip(dem, z_min, z_max) - z_min) * scale + 1.0,
+    ).astype(np.uint16)
+    return png_encode(q)
+
+
+def png16_to_dem(data: bytes, z_min: float, z_max: float) -> np.ndarray:
+    q = png_decode(data).astype(np.float64)
+    scale = (z_max - z_min) / 65534.0
+    dem = (q - 1.0) * scale + z_min
+    dem[q == 0] = np.nan
+    return dem.astype(np.float32)
