@@ -1,0 +1,257 @@
+"""Vector -> raster stage: shapefile-feature rasterization + PIP join.
+
+Reference pipeline C (SURVEY.md §3.3, Shapefile/RasteriserEvenOdd.cs):
+features filtered by the class-map dimension (V2 semi-join), clipped to
+the raster (V3), dispatched by geometry type (V4), polygon scanline fill
+with even-odd holes (V5/V6), Bresenham lines (V7), strictly in ``seq``
+order (V8 last-writer-wins).
+
+Two physical strategies (SURVEY.md §4 "Broadcast vs partitioned"):
+
+- **broadcast**: the feature set is small (fixture: ~7k features,
+  ~660 KB) -> ship decoded features to every kernel, loop tiles in
+  ``mapInPandas``.
+- **cogrouped**: at 10^12 scale, features are exploded to the tiles
+  their envelope covers (X5 duplication) and cogrouped with per-tile
+  rows — an equi-join shuffle on cell_id, no driver collect.
+
+Both call the same per-tile numpy kernel, so outputs are identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import datagen
+from ..gridlib import wkb
+from ..gridlib.bounds import EPSILON, RasterBounds
+from ..gridlib.clip import clip_polyline, clip_ring
+from ..gridlib.phash import phash64
+from ..gridlib.png import png_encode
+from ..gridlib.scanline import (
+    fill_polygon,
+    rasterize_linestring,
+    rasterize_polygon_with_holes,
+)
+from ..gridlib.tilenamer import cell_id, cell_id_envelope, cell_id_to_name
+
+PIP_TILE_SCHEMA = (
+    "cell_id long, image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, n_features int, painted_cells int"
+)
+
+
+def _rasterize_tile(
+    cell: int,
+    px: int,
+    size_north: int,
+    feats: list[tuple[int, int, bytes]],
+    classmap: dict[int, int],
+) -> dict:
+    """One tile: apply features (seq-sorted) onto a fresh byte raster.
+
+    feats: (seq, luokka, wkb) — caller must NOT pre-sort; sorted here so
+    both strategies agree (V8 RasteriserEvenOdd.Tests.cs:45-46).
+    """
+    minx, miny, maxx, maxy = (
+        int(v) for v in np.array(cell_id_envelope(np.array([cell]), size_north)).ravel()
+    )
+    bounds = RasterBounds(px, px, minx, miny, maxx, maxy)
+    raster = np.zeros((px, px), dtype=np.uint8)
+    temp = np.zeros((px, px), dtype=np.uint8)
+    # clip box: max edges epsilon-inside (RasteriserEvenOdd.cs:24)
+    cminx, cminy = minx, miny
+    cmaxx, cmaxy = maxx - EPSILON, maxy - EPSILON
+
+    n_applied = 0
+    for seq, luokka, gbytes in sorted(feats, key=lambda t: t[0]):
+        value = classmap.get(int(luokka))
+        if value is None:  # V2 (RasteriserEvenOdd.cs:33-38)
+            continue
+        geom = wkb.decode(gbytes)
+        applied = False
+        for rings in geom.polygons():  # V4 dispatch + multi explode
+            ext = clip_ring(rings[0][0], rings[0][1], cminx, cminy, cmaxx, cmaxy)
+            if ext is None:
+                continue
+            holes = []
+            for hx, hy in rings[1:]:
+                h = clip_ring(hx, hy, cminx, cminy, cmaxx, cmaxy)
+                if h is not None:
+                    holes.append(h)
+            exs, eys = ext
+            rmin, cmin = bounds.proj_to_cell_scalar(float(exs.min()), float(eys.min()))
+            rmax, cmax = bounds.proj_to_cell_scalar(float(exs.max()), float(eys.max()))
+            rasterize_polygon_with_holes(
+                bounds, raster, int(value), ext, holes, rmin, rmax, cmin, cmax, temp
+            )
+            applied = True
+        for lx, ly in geom.linestrings():
+            for sx, sy in clip_polyline(lx, ly, cminx, cminy, cmaxx, cmaxy):
+                rasterize_linestring(bounds, raster, int(value), sx, sy)
+                applied = True
+        if applied:
+            n_applied += 1
+
+    name = str(cell_id_to_name(np.array([cell]), size_north)[0])
+    caption = datagen.CAPTION_FMT.format(
+        name=name, minx=minx, miny=miny, maxx=maxx, maxy=maxy,
+        cellsize=(maxx - minx) / px, nodata=0,
+    )
+    return {
+        "cell_id": cell,
+        "image_id": name,
+        "bytes": png_encode(raster),
+        "w": px,
+        "h": px,
+        "fmt": "png8",
+        "caption": caption,
+        "phash": phash64(raster),
+        "n_features": n_applied,
+        "painted_cells": int((raster != 0).sum()),
+    }
+
+
+def rasterize_features_broadcast(
+    spark: SparkSession,
+    tiles: DataFrame,
+    features: DataFrame,
+    classmap: dict[int, int],
+    px: int = 128,
+    size_north: int = 1000,
+) -> DataFrame:
+    """Broadcast strategy: features collected + broadcast, tiles fanned out.
+
+    ``tiles`` needs a ``cell_id`` column (one row per output tile).
+    """
+    rows = features.select("seq", "luokka", "geom_wkb").collect()
+    feats = [(r["seq"], r["luokka"], bytes(r["geom_wkb"])) for r in rows]
+    b_feats = spark.sparkContext.broadcast(feats)
+    b_map = spark.sparkContext.broadcast(dict(classmap))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _rasterize_tile(
+                    int(c), px, size_north, b_feats.value, b_map.value
+                )
+                for c in pdf["cell_id"]
+            ]
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                {k.split()[0]: [] for k in PIP_TILE_SCHEMA.split(", ")}
+            )
+
+    return tiles.select("cell_id").distinct().mapInPandas(run, PIP_TILE_SCHEMA)
+
+
+def explode_feature_covers(
+    features: DataFrame, size_north: int = 1000
+) -> DataFrame:
+    """X5 duplication: one row per (feature, covered tile).  Envelope via
+    a vectorized pandas UDF over WKB, cover explode via sequence()."""
+    import pyarrow  # noqa: F401  (arrow transport)
+
+    @F.pandas_udf("minx double, miny double, maxx double, maxy double")
+    def envelope_udf(g: pd.Series) -> pd.DataFrame:
+        envs = [wkb.decode(b).envelope() for b in g]
+        return pd.DataFrame(envs, columns=["minx", "miny", "maxx", "maxy"])
+
+    from ..gridlib import tilenamer as tn
+
+    se, sn = tn._snap_sizes(size_north)
+    f = features.withColumn("env", envelope_udf("geom_wkb"))
+    c0 = F.floor((F.col("env.minx") - tn.ORIGIN_EAST) / se).cast("long")
+    c1 = F.floor((F.col("env.maxx") - tn.ORIGIN_EAST) / se).cast("long")
+    r0 = F.floor((F.col("env.miny") - tn.ORIGIN_NORTH) / sn).cast("long")
+    r1 = F.floor((F.col("env.maxy") - tn.ORIGIN_NORTH) / sn).cast("long")
+    return (
+        f.withColumn("tile_row", F.explode(F.sequence(r0, r1)))
+        .withColumn("tile_col", F.explode(F.sequence(c0, c1)))
+        .withColumn(
+            "cell_id", F.col("tile_row") * F.lit(1 << 32) + F.col("tile_col")
+        )
+        .drop("env", "tile_row", "tile_col")
+    )
+
+
+def rasterize_features_cogrouped(
+    tiles: DataFrame,
+    features: DataFrame,
+    classmap: dict[int, int],
+    px: int = 128,
+    size_north: int = 1000,
+) -> DataFrame:
+    """Partitioned strategy: explode feature covers, cogroup with tiles on
+    cell_id, rasterize per group.  No driver-side collect — scales to
+    feature sets far beyond broadcast limits."""
+    covers = explode_feature_covers(features, size_north)
+    cmap = dict(classmap)
+
+    def run(key, tile_pdf: pd.DataFrame, feat_pdf: pd.DataFrame) -> pd.DataFrame:
+        if tile_pdf.empty:
+            return pd.DataFrame([])
+        cell = int(key[0])
+        feats = [
+            (int(s), int(l), bytes(g))
+            for s, l, g in zip(
+                feat_pdf["seq"], feat_pdf["luokka"], feat_pdf["geom_wkb"]
+            )
+        ]
+        return pd.DataFrame([_rasterize_tile(cell, px, size_north, feats, cmap)])
+
+    return (
+        tiles.select("cell_id")
+        .distinct()
+        .groupBy("cell_id")
+        .cogroup(covers.groupBy("cell_id"))
+        .applyInPandas(run, PIP_TILE_SCHEMA)
+    )
+
+
+def pip_classify_points(
+    points: DataFrame, pip_tiles: DataFrame, size_north: int = 1000
+) -> DataFrame:
+    """PIP classification rows: each point gets the rasterized class value
+    of its cell (the reference's point->terrain-class query, A9/V5 join).
+
+    Equi-join points to their tile row on cell_id, then an Arrow kernel
+    indexes the decoded raster — a point-lookup join, broadcast when the
+    tile table is small."""
+    from ..gridlib.png import png_decode
+    from .tiling import with_cell_id
+
+    if "cell_id" not in points.columns:
+        points = with_cell_id(points, size_north)
+    joined = points.join(
+        pip_tiles.select("cell_id", "bytes", "caption"), "cell_id", "left"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            vals = np.full(len(pdf), -1, dtype=np.int32)
+            has = pdf["bytes"].notna().to_numpy()
+            caps = pdf["caption"].to_numpy()
+            xs = pdf["x"].to_numpy()
+            ys = pdf["y"].to_numpy()
+            # vectorized per unique tile in the batch: decode once, index all
+            for cap in pd.unique(pdf.loc[has, "caption"]):
+                sel = has & (caps == cap)
+                name, minx, miny, _, _, cs, _ = datagen.parse_caption(cap)
+                r = cache.get(name)
+                if r is None:
+                    r = png_decode(bytes(pdf.loc[sel, "bytes"].iloc[0]))
+                    cache[name] = r
+                row = ((ys[sel] - miny) / cs).astype(np.int64)
+                col = ((xs[sel] - minx) / cs).astype(np.int64)
+                vals[sel] = r[row, col]
+            out = pdf[["x", "y"]].copy()
+            out["value"] = vals
+            yield out
+
+    return joined.mapInPandas(run, "x double, y double, value int")

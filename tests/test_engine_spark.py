@@ -1,0 +1,191 @@
+"""Spark-stage integration tests: end-to-end slice, PIP strategies, voxel
+relational ops, partition-count invariance (local[8] == local[32] analog)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lasutility_spark import datagen
+from lasutility_spark.engine import pip_stage, points as pts, tiling, tin_stage, voxel
+from lasutility_spark.gridlib import topodb
+from lasutility_spark.gridlib.bounds import RasterBounds
+from lasutility_spark.gridlib.png import png16_to_dem, png_decode
+from lasutility_spark.gridlib.tilenamer import tile_decode
+from lasutility_spark.gridlib.tin import Tin
+
+
+@pytest.fixture(scope="module")
+def images_dir(tmp_path_factory):
+    return datagen.ensure_images_table(0.001, base_dir="/root/repo/.cache")
+
+
+def test_end_to_end_tin_slice(spark, images_dir):
+    """SURVEY §7.3: the minimum end-to-end slice, asserted allclose against
+    a single-process gridlib oracle on the same input."""
+    images = pts.read_images(spark, images_dir)
+    p = pts.decode_points(images)
+    tiles = tin_stage.rasterize_tin_tiles(p, px=64, num_partitions=4)
+    out = {r["image_id"]: r for r in tiles.collect()}
+    assert len(out) == 9
+
+    # single-process oracle for one tile
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{images_dir}/images.parquet").to_pandas()
+    row = src.iloc[3]
+    name, minx, miny, maxx, maxy, cs, _ = datagen.parse_caption(row["caption"])
+    dem_in = png16_to_dem(row["bytes"], datagen.Z_MIN, datagen.Z_MAX)
+    x, y, z, cls = datagen.sample_points_from_tile(name, dem_in, minx, miny, cs)
+    bounds = RasterBounds(64, 64, minx, miny, maxx, maxy)
+    oracle = Tin(x, y, z, cls).rasterize_dem(bounds)
+
+    got = png16_to_dem(bytes(out[name]["bytes"]), datagen.Z_MIN, datagen.Z_MAX)
+    both = ~np.isnan(oracle) & ~np.isnan(got)
+    assert both.mean() > 0.9
+    # PSNR >= 40 dB gate (BASELINE input_hint)
+    mse = float(np.mean((got[both] - oracle[both]) ** 2))
+    psnr = 10 * np.log10(500.0**2 / max(mse, 1e-12))
+    assert psnr >= 40, psnr
+    assert out[name]["caption"] == row["caption"].replace(";7.8125;", ";15.625;")
+    assert out[name]["n_points"] == len(x)
+    assert out[name]["n_triangles"] > 0
+
+
+def test_tin_partition_invariance(spark, images_dir):
+    """Same output regardless of parallelism (the north-rule determinism
+    requirement: local[8] vs local[32] equality)."""
+    images = pts.read_images(spark, images_dir)
+    p = pts.decode_points(images)
+    a = tin_stage.rasterize_tin_tiles(p, px=32, num_partitions=1).collect()
+    b = tin_stage.rasterize_tin_tiles(p, px=32, num_partitions=7).collect()
+    da = {r["image_id"]: (r["phash"], bytes(r["bytes"])) for r in a}
+    db = {r["image_id"]: (r["phash"], bytes(r["bytes"])) for r in b}
+    assert da == db  # bit-identical tiles
+
+
+def test_voxel_relational_ops(spark):
+    """A2/A3/A4/A5/S14 semantics on the hand-computed VoxelGrid golden
+    (VoxelGrid.Tests.cs:18-135), run through the Spark operators."""
+    # grid [0,10)x[100000,200000) 10x10, the reference's edge-case fixture
+    rows = [
+        # ground points: per-cell max
+        (0.0, 100000.0, 100.0, 2),
+        (10.0 - 1e-6, 200000.0 - 1e-6, 10.0, 2),
+        # three non-ground in one cell -> sorted desc [10, 5, 2.5]
+        (5.0, 155000.0, 2.5, 5),
+        (5.0, 155000.0, 10.0, 5),
+        (5.0, 155000.0, 5.0, 5),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["x", "y", "z", "cls"])
+    )
+    # manual cell assignment for this custom (non-NLS) grid
+    from pyspark.sql import functions as F
+
+    df = (
+        df.withColumn("cell_id", F.lit(0))
+        .withColumn("row", F.floor((F.col("y") - 100000.0) / 10000.0).cast("int"))
+        .withColumn("col", F.floor(F.col("x") / 1.0).cast("int"))
+    )
+    dem = {(r["row"], r["col"]): r["dem_z"] for r in voxel.ground_dem(df).collect()}
+    assert dem[(0, 0)] == 100.0
+    assert dem[(9, 9)] == 10.0
+
+    b = voxel.bins(df).collect()
+    assert len(b) == 1
+    zs = [p["z"] for p in b[0]["points"]]
+    assert zs == [10.0, 5.0, 2.5]  # desc by z (Bin.cs:35-39)
+
+    top = voxel.highest_in_class_range(df, 3, 5).collect()
+    assert {(r["row"], r["col"]): r["surface_z"] for r in top}[(5, 5)] == 10.0
+
+    surf = {
+        (r["row"], r["col"]): r["h"]
+        for r in voxel.surface_model(df, 3, 5).collect()
+    }
+    assert surf[(5, 5)] == 10.0  # veg wins
+    assert surf[(0, 0)] == 100.0  # ground fallback
+    ext = voxel.extent(df).collect()[0]
+    assert (ext["minx"], ext["maxx"]) == (0, 10)
+
+
+def test_neighborhood_max(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = [(0, 1, 1, 5.0), (0, 1, 2, 3.0), (0, 2, 2, 4.0), (0, 5, 5, 2.0)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cell_id", "row", "col", "z"])
+    ).withColumn("cls", F.lit(5))
+    res = {
+        (r["row"], r["col"]): r["is_local_max"]
+        for r in voxel.neighborhood_max(df, 1, 3, 5).collect()
+    }
+    assert res[(1, 1)] is True  # 5.0 beats neighbors 3.0, 4.0
+    assert res[(1, 2)] is False
+    assert res[(5, 5)] is True  # isolated cell (border clamp analog)
+
+
+def test_pip_broadcast_vs_cogrouped_and_oracle(spark, images_dir):
+    """V1-V8: both physical strategies produce identical rasters, and they
+    match the single-process gridlib oracle."""
+    images = pts.read_images(spark, images_dir)
+    feats = spark.read.parquet(f"{images_dir}/polygons.parquet").union(
+        spark.read.parquet(f"{images_dir}/lines.parquet")
+    )
+    # build cell ids from captions (tile min corner)
+    cap = images.select("caption").toPandas()["caption"]
+    from lasutility_spark.gridlib.tilenamer import cell_id
+
+    mins = np.array([datagen.parse_caption(c)[1:3] for c in cap])
+    cells = cell_id(mins[:, 0], mins[:, 1], 1000)
+    tile_df = spark.createDataFrame(pd.DataFrame({"cell_id": cells}))
+
+    classmap = {**topodb.ALL_POLYGON, **topodb.ALL_LINE}
+    a = pip_stage.rasterize_features_broadcast(
+        spark, tile_df, feats, classmap, px=64
+    ).collect()
+    b = pip_stage.rasterize_features_cogrouped(
+        tile_df, feats, classmap, px=64
+    ).collect()
+    da = {r["image_id"]: bytes(r["bytes"]) for r in a}
+    db = {r["image_id"]: bytes(r["bytes"]) for r in b}
+    assert da.keys() == db.keys()
+    assert da == db  # identical rasters from both strategies
+
+    # oracle: rasterize one tile single-process
+    feat_rows = [
+        (r["seq"], r["luokka"], bytes(r["geom_wkb"]))
+        for r in feats.select("seq", "luokka", "geom_wkb").collect()
+    ]
+    some = a[0]
+    oracle = pip_stage._rasterize_tile(
+        some["cell_id"], 64, 1000, feat_rows, classmap
+    )
+    assert oracle["bytes"] == bytes(some["bytes"])
+    assert sum(r["painted_cells"] for r in a) > 0  # something got painted
+
+
+def test_pip_classify_points(spark, images_dir):
+    images = pts.read_images(spark, images_dir)
+    feats = spark.read.parquet(f"{images_dir}/polygons.parquet")
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lasutility_spark.gridlib.tilenamer import cell_id
+
+    cap = images.select("caption").toPandas()["caption"]
+    mins = np.array([datagen.parse_caption(c)[1:3] for c in cap])
+    tile_df = spark.createDataFrame(
+        pd.DataFrame({"cell_id": cell_id(mins[:, 0], mins[:, 1], 1000)})
+    )
+    pip_tiles = pip_stage.rasterize_features_broadcast(
+        spark, tile_df, feats, topodb.ALL_POLYGON, px=64
+    )
+    p = pts.decode_points(images)
+    classified = pip_stage.pip_classify_points(p, pip_tiles)
+    vals = classified.groupBy("value").count().collect()
+    byval = {r["value"]: r["count"] for r in vals}
+    assert 0 in byval  # background
+    assert any(v >= 100 for v in byval if v > 0)  # some building/terrain hits
+    assert -1 not in byval  # every point found its tile
