@@ -1,38 +1,270 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query — synthesize a point cloud from the
+  sf0.001 lineitem parquet, tile it on NLS 1 km cell ids, run the
+  Delaunay-TIN rasterization kernel per tile, return the tile table.
+- ``queries()``: one entry per implemented operator (SURVEY.md §2 ids in
+  the key names).  Relational operators run the Spark dialect of the
+  same SQL the oracle runs; kernel operators (X1/X2 codec, T9 TIN, V5
+  PIP, multimodal) run the engine's real numpy/Arrow path.
+- ``oracle_sql()``: DuckDB dialect for every SQL-expressible operator.
+  All definitions use integer-exact arithmetic (polynomial hashes,
+  quantized dots, FLOOR-before-CAST) so value hashes match bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lasutility_spark import datagen
+from lasutility_spark.engine import points as epoints
+from lasutility_spark.engine import pip_stage, tin_stage
+from lasutility_spark.engine.tiling import cell_id_col
+from lasutility_spark.gridlib import topodb
+from lasutility_spark.gridlib.tilenamer import cell_id_to_name, tile_decode_batch
+from lasutility_spark.pipelines import dedup, geosql, multimodal, similarity, text
+
+_ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _register(spark: SparkSession, sf_dir: str, tables) -> None:
+    for t in tables:
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).createOrReplaceTempView(t)
+
+
+def _sql_query(sql_fn, tables):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir, tables)
+        return spark.sql(sql_fn("spark"))
+
+    return run
+
+
+def _events_sql(dialect: str) -> str:
+    """Hourly tumbling-window aggregate over the events stream table —
+    the batch view of the Structured Streaming stage (engine.streaming)."""
+    return """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS users,
+           CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) AS BIGINT)
+             AS sum_value_x1000
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+# --- Spark-side kernel implementations (real engine path) -----------------
+
+
+def _tile_encode_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 via the engine's vectorized numpy codec (oracle: SQL grammar)."""
+    pts = epoints.synth_points(spark, sf_dir)
+    df = pts.withColumn("cell_id", cell_id_col(F.col("x"), F.col("y"), 1000))
+    counts = df.groupBy("cell_id").agg(F.count("*").alias("n_points"))
+
+    @F.pandas_udf("string")
+    def name_udf(cid: pd.Series) -> pd.Series:
+        return pd.Series(cell_id_to_name(cid.to_numpy(), 1000).astype(object))
+
+    return counts.select(
+        "cell_id", name_udf("cell_id").alias("tile_name"), "n_points"
+    )
+
+
+def _tile_envelope_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 via the engine's real decode (oracle: closed-form arithmetic)."""
+    pts = epoints.synth_points(spark, sf_dir)
+    cells = (
+        pts.withColumn("cell_id", cell_id_col(F.col("x"), F.col("y"), 1000))
+        .select("cell_id")
+        .distinct()
+    )
+
+    @F.pandas_udf("minx double, miny double, maxx double, maxy double")
+    def env_udf(cid: pd.Series) -> pd.DataFrame:
+        names = cell_id_to_name(cid.to_numpy(), 1000)
+        envs = tile_decode_batch(names).astype(np.float64)
+        return pd.DataFrame(envs, columns=["minx", "miny", "maxx", "maxy"])
+
+    e = cells.withColumn("env", env_udf("cell_id"))
+    return e.select(
+        "cell_id",
+        F.col("env.minx").alias("tile_minx"),
+        F.col("env.miny").alias("tile_miny"),
+        F.col("env.maxx").alias("tile_maxx"),
+        F.col("env.maxy").alias("tile_maxy"),
+    )
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base[2:]) if base.startswith("sf") else 0.001
+
+
+def _tin_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+T9 flagship kernel over the synthesized image table (rows-only
+    check; pixel parity is covered by pytest PSNR gates)."""
+    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
+    images = epoints.read_images(spark, images_dir)
+    pts = epoints.decode_points(images)
+    tiles = tin_stage.rasterize_tin_tiles(pts, px=64)
+    return tiles.select(
+        "cell_id", "image_id", "w", "h", "fmt", "n_points", "n_triangles",
+        "filled_cells", "missing_cells",
+    )
+
+
+def _tin_rasterize_voxel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline B (A2 ground-max DEM + A8 TIN backfill) per tile."""
+    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
+    images = epoints.read_images(spark, images_dir)
+    pts = epoints.decode_points(images)
+    tiles = tin_stage.rasterize_tin_tiles(pts, px=64, ground_max_first=True)
+    return tiles.select(
+        "cell_id", "image_id", "n_points", "n_triangles", "filled_cells",
+        "missing_cells",
+    )
+
+
+def _pip_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1-V8 feature rasterization (cogrouped strategy) over the
+    synthesized feature tables (rows-only; parity pinned by pytest)."""
+    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
+    images = epoints.read_images(spark, images_dir)
+    feats = spark.read.parquet(f"{images_dir}/polygons.parquet").union(
+        spark.read.parquet(f"{images_dir}/lines.parquet")
+    )
+    caps = images.select("caption").toPandas()["caption"]
+    mins = np.array([datagen.parse_caption(c)[1:3] for c in caps])
+    from lasutility_spark.gridlib.tilenamer import cell_id as cid_fn
+
+    tile_df = spark.createDataFrame(
+        pd.DataFrame({"cell_id": cid_fn(mins[:, 0], mins[:, 1], 1000)})
+    )
+    classmap = {**topodb.ALL_POLYGON, **topodb.ALL_LINE}
+    out = pip_stage.rasterize_features_cogrouped(tile_df, feats, classmap, px=64)
+    return out.select("cell_id", "image_id", "w", "h", "n_features", "painted_cells")
+
+
+def _pip_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point->class PIP lookup join (rows-only)."""
+    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
+    images = epoints.read_images(spark, images_dir)
+    feats = spark.read.parquet(f"{images_dir}/polygons.parquet")
+    caps = images.select("caption").toPandas()["caption"]
+    mins = np.array([datagen.parse_caption(c)[1:3] for c in caps])
+    from lasutility_spark.gridlib.tilenamer import cell_id as cid_fn
+
+    tile_df = spark.createDataFrame(
+        pd.DataFrame({"cell_id": cid_fn(mins[:, 0], mins[:, 1], 1000)})
+    )
+    pip_tiles = pip_stage.rasterize_features_broadcast(
+        spark, tile_df, feats, topodb.ALL_POLYGON, px=64
+    )
+    pts = epoints.decode_points(images)
+    rows = pip_stage.pip_classify_points(pts, pip_tiles)
+    return rows.groupBy("value").agg(F.count("*").alias("n_points"))
+
+
+def _image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
+    return multimodal.image_decode_stats(epoints.read_images(spark, images_dir))
+
+
+def _image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
+    out = multimodal.image_resize(epoints.read_images(spark, images_dir), 2)
+    return out.select("image_id", "w", "h", "fmt")
+
+
+def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
+    return multimodal.frame_sample_stub(epoints.read_images(spark, images_dir))
+
+
+# --- the registry ----------------------------------------------------------
+
+# name -> (sql_fn, tables) for the dual-dialect relational operators
+_RELATIONAL: dict[str, tuple[Callable[[str], str], list[str]]] = {
+    "x3_cells": (geosql.cells_sql, ["lineitem"]),
+    "x4_cell_corners": (geosql.cell_corners_sql, ["lineitem"]),
+    "a2_ground_dem": (geosql.ground_dem_sql, ["lineitem"]),
+    "a4_bins_ranked": (geosql.bins_ranked_sql, ["lineitem"]),
+    "a6_heights_range": (geosql.heights_range_sql, ["lineitem"]),
+    "s14_surface_model": (geosql.surface_model_sql, ["lineitem"]),
+    "a7_neighborhood_max": (geosql.neighborhood_max_sql, ["lineitem"]),
+    "s4_extent": (geosql.extent_sql, ["lineitem"]),
+    "v5_pip_literal": (geosql.pip_literal_sql, ["lineitem"]),
+    "v1_classmap_union": (geosql.classmap_union_sql, []),
+    "v2_classmap_semijoin": (geosql.classmap_semijoin_sql, ["lineitem"]),
+    "x2_tile_envelope_arith": (geosql.tile_envelope_sql, ["lineitem"]),
+    "txt_doc_stats": (text.doc_stats_sql, ["documents"]),
+    "txt_lang_id": (text.lang_id_sql, ["documents"]),
+    "txt_fingerprint": (text.fingerprint_sql, ["documents"]),
+    "txt_quality": (text.quality_sql, ["documents"]),
+    "txt_token_hist": (text.token_hist_sql, ["documents"]),
+    "dd_exact": (dedup.exact_dedup_sql, ["documents"]),
+    "dd_minhash_bands": (dedup.minhash_bands_sql, ["documents"]),
+    "dd_minhash_pairs": (dedup.minhash_pairs_sql, ["documents"]),
+    "dd_simhash": (dedup.simhash_sql, ["documents"]),
+    "dd_ngram_jaccard": (dedup.ngram_jaccard_pairs_sql, ["documents"]),
+    "sim_ann_topk": (similarity.ann_topk_sql, ["embeddings"]),
+    "sim_lsh_buckets": (similarity.lsh_buckets_sql, ["embeddings"]),
+    "sim_lsh_pairs": (similarity.lsh_candidate_pairs_sql, ["embeddings"]),
+    "sim_near_dup": (similarity.near_dup_pairs_sql, ["embeddings"]),
+    "sim_knn_label": (similarity.knn_label_sql, ["embeddings"]),
+    "evt_hourly": (_events_sql, ["events"]),
+}
+
+# kernel-path queries: Spark side is the real engine; oracle where possible
+_KERNEL_WITH_ORACLE = {
+    "x1_tile_encode": (_tile_encode_spark, geosql.tile_encode_sql_query, ["lineitem"]),
+    "x2_tile_envelope": (_tile_envelope_spark, geosql.tile_envelope_sql, ["lineitem"]),
+}
+
+_ROWS_ONLY = {
+    "t9_tin_rasterize": _tin_rasterize,
+    "b_voxel_tin_backfill": _tin_rasterize_voxel,
+    "v5_pip_rasterize": _pip_rasterize,
+    "v5_pip_classify": _pip_classify,
+    "m1_image_stats": _image_stats,
+    "m2_image_resize": _image_resize,
+    "m3_frame_sample": _frame_sample,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sf0.001 lineitem -> points -> 1 km tiles -> Delaunay TIN
+    -> rasterized DEM tile table (driver collects)."""
+    pts = epoints.synth_points(spark, "/root/testdata/sf0.001")
+    tiles = tin_stage.rasterize_tin_tiles(pts, px=64, size_north=1000)
+    return tiles.select(
+        "cell_id", "image_id", "w", "h", "fmt", "caption", "phash",
+        "n_points", "n_triangles", "filled_cells", "missing_cells",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (fn, tables) in _RELATIONAL.items():
+        q[name] = _sql_query(fn, tables)
+    for name, (spark_fn, _oracle, _tables) in _KERNEL_WITH_ORACLE.items():
+        q[name] = spark_fn
+    q.update(_ROWS_ONLY)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {name: fn("duckdb") for name, (fn, _t) in _RELATIONAL.items()}
+    for name, (_spark_fn, oracle_fn, _tables) in _KERNEL_WITH_ORACLE.items():
+        out[name] = oracle_fn("duckdb")
+    return out

@@ -74,9 +74,9 @@ def synth_points_sql(table: str = "lineitem") -> str:
     """
     return f"""
     SELECT
-      (CAST((l_orderkey * 7919 + l_linenumber * 104729) % 64000 AS DOUBLE) / 64.0)
+      (CAST((l_orderkey * 7919 + l_linenumber * 104729) % 512000 AS DOUBLE) / 64.0)
         + 380000.0 AS x,
-      (CAST((l_partkey * 7907 + l_suppkey * 31 + l_linenumber) % 64000 AS DOUBLE) / 64.0)
+      (CAST((l_partkey * 7907 + l_suppkey * 31 + l_linenumber) % 512000 AS DOUBLE) / 64.0)
         + 6666000.0 AS y,
       CAST((l_orderkey * 131 + l_partkey * 17 + l_linenumber) % 524288 AS DOUBLE) / 1024.0
         AS z,

@@ -1,0 +1,168 @@
+"""Deduplication operators over the ``documents`` table.
+
+- exact:        hash-groupBy on md5(text)
+- MinHash LSH:  4-char shingles -> polynomial hash mod 2^31-1 -> k
+  permutation minima -> banded buckets -> candidate-pair equi-join
+- SimHash:      16-bit token-hash sign aggregate
+- n-gram Jaccard: shingle-set intersection/union on candidate pairs
+
+All integer-exact and expressed as portable SQL: shingling/hashing uses
+``transform``/``aggregate`` higher-order functions on Spark (JVM,
+whole-stage codegen) and ``list_transform``/``list_min`` on DuckDB —
+same arithmetic, bit-identical results.  At 10^12 scale the LSH path is
+the only shuffle-bounded one: signatures are narrow, the band join is an
+equi-join AQE can handle, and candidate verification stays per-pair.
+"""
+
+from __future__ import annotations
+
+from .text import P31
+
+K_MINHASH = 8  # permutations
+BANDS = 4  # 2 rows per band
+# fixed affine permutation parameters (a odd, deterministic)
+_AS = [(2 * j + 1) * 40503 % P31 for j in range(1, K_MINHASH + 1)]
+_BS = [(j * 97 + 13) * 8191 % P31 for j in range(1, K_MINHASH + 1)]
+
+
+def exact_dedup_sql(dialect: str) -> str:
+    """Exact dedup: md5 of full text (same hex in both engines)."""
+    return """
+    SELECT md5(text) AS content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) >= 1
+    """
+
+
+def _shingle_hashes(dialect: str, text: str = "text") -> str:
+    """List of 4-gram polynomial hashes (mod 2^31-1) of ``text``."""
+    gram = (
+        f"(ascii(substr({text}, i, 1)) * 29791 + ascii(substr({text}, i + 1, 1)) * 961 "
+        f"+ ascii(substr({text}, i + 2, 1)) * 31 + ascii(substr({text}, i + 3, 1))) % {P31}"
+    )
+    if dialect == "spark":
+        return f"transform(sequence(1, greatest(length({text}) - 3, 1)), i -> CAST({gram} AS BIGINT))"
+    return (
+        f"list_transform(range(1, greatest(length({text}) - 3, 1) + 1), "
+        f"i -> CAST({gram} AS BIGINT))"
+    )
+
+
+def minhash_signature_sql(dialect: str) -> str:
+    """doc_id -> k minhash values (one column per permutation)."""
+    sh = _shingle_hashes(dialect)
+    if dialect == "spark":
+        mins = ",\n      ".join(
+            f"array_min(transform(sh, v -> ({a} * v + {b}) % {P31})) AS mh{j}"
+            for j, (a, b) in enumerate(zip(_AS, _BS))
+        )
+    else:
+        mins = ",\n      ".join(
+            f"list_min(list_transform(sh, v -> ({a} * v + {b}) % {P31})) AS mh{j}"
+            for j, (a, b) in enumerate(zip(_AS, _BS))
+        )
+    return f"""
+    SELECT doc_id, {mins}
+    FROM (SELECT doc_id, {sh} AS sh FROM documents)
+    """
+
+
+def minhash_bands_sql(dialect: str) -> str:
+    """(doc_id, band, band_key) rows — the LSH bucket assignment."""
+    sig = minhash_signature_sql(dialect)
+    rows_per_band = K_MINHASH // BANDS
+    selects = []
+    for b in range(BANDS):
+        keys = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key_expr = " + ".join(
+            f"{k} * {P31 if i == 0 else 1}" for i, k in enumerate(keys)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band, CAST({key_expr} AS BIGINT) AS band_key "
+            f"FROM sig"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"WITH sig AS ({sig}) {union}"
+
+
+def minhash_pairs_sql(dialect: str) -> str:
+    """LSH candidate pairs: docs sharing any band bucket (distinct)."""
+    bands = minhash_bands_sql(dialect)
+    return f"""
+    WITH bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+
+
+def simhash_sql(dialect: str, bits: int = 16) -> str:
+    """Per-doc SimHash over token polynomial hashes: bit b set iff the
+    sum of (+1/-1) signs of token-hash bit b is positive."""
+    if dialect == "spark":
+        gen = "SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents"
+    else:
+        gen = "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+    # token polynomial hash mod 2^31-1 (portable fold)
+    if dialect == "spark":
+        th = (
+            f"aggregate(sequence(1, length(tok)), 0L, "
+            f"(acc, i) -> (acc * 31 + ascii(substr(tok, i, 1))) % {P31})"
+        )
+    else:
+        th = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, length(tok) + 1), "
+            f"i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))), "
+            f"(acc, c) -> (acc * 31 + c) % {P31})"
+        )
+    # integer bit extraction via FLOOR (CAST of a fractional double rounds
+    # in DuckDB but truncates in Spark — never cast non-integral doubles)
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN CAST(FLOOR(th / {1 << b}) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+    FROM (
+      SELECT doc_id, {th} AS th
+      FROM ({gen}) WHERE tok <> ''
+    )
+    GROUP BY doc_id
+    """
+
+
+def ngram_jaccard_pairs_sql(dialect: str, threshold_x1000: int = 100) -> str:
+    """n-gram Jaccard similarity on LSH candidate pairs (verify step of
+    the dedup pipeline): |A∩B| * 1000 / |A∪B| as exact integer."""
+    pairs = minhash_pairs_sql(dialect)
+    sh = _shingle_hashes(dialect)
+    if dialect == "spark":
+        setop = (
+            "CAST(size(array_intersect(a.s, b.s)) AS BIGINT) AS inter, "
+            "CAST(size(array_union(a.s, b.s)) AS BIGINT) AS uni"
+        )
+        dedup_list = "array_distinct"
+    else:
+        setop = (
+            "CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter, "
+            "CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS uni"
+        )
+        dedup_list = "list_distinct"
+    return f"""
+    WITH pairs AS ({pairs}),
+    shingles AS (SELECT doc_id, {dedup_list}({sh}) AS s FROM documents)
+    SELECT doc_a, doc_b,
+           CAST(FLOOR((inter * 1000.0) / uni) AS BIGINT) AS jaccard_x1000
+    FROM (
+      SELECT p.doc_a, p.doc_b, {setop}
+      FROM pairs p
+      JOIN shingles a ON a.doc_id = p.doc_a
+      JOIN shingles b ON b.doc_id = p.doc_b
+    ) t
+    WHERE (inter * 1000.0) / uni >= {threshold_x1000}
+    """

@@ -1,0 +1,146 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Integer-exact design: embeddings are quantized ``floor(v * 100)`` so dot
+products are exact int64 arithmetic — identical in Spark and DuckDB, no
+FP-summation-order hazard.  Operators:
+
+- brute-force top-k (the baseline): bounded cross join + window rank
+- LSH-bucketed ANN (the scale path): sign-bit buckets against fixed
+  integer hyperplanes -> candidates only within a bucket
+- near-duplicate pairs by quantized cosine
+- k-NN majority-label classification
+
+At 10^12 scale only the LSH path survives: buckets are an equi-join key
+(shuffle-bounded, AQE-skew-splittable), and the expensive exact re-rank
+runs per bucket.  The brute-force path exists as the correctness oracle.
+"""
+
+from __future__ import annotations
+
+DIM = 64
+N_PLANES = 8
+
+
+def _hyperplane(j: int) -> list[int]:
+    """Fixed deterministic integer hyperplanes in {-3..3}^64."""
+    return [((i * 31 + j * 17 + (i * j) % 5) % 7) - 3 for i in range(DIM)]
+
+
+def _qdot(dialect: str, a: str, b: str) -> str:
+    """Exact integer dot product of quantized (x100) embeddings."""
+    if dialect == "spark":
+        return (
+            f"aggregate(sequence(1, {DIM}), 0L, (acc, i) -> acc + "
+            f"CAST(FLOOR(CAST(element_at({a}, i) AS DOUBLE) * 100.0) AS BIGINT) * "
+            f"CAST(FLOOR(CAST(element_at({b}, i) AS DOUBLE) * 100.0) AS BIGINT))"
+        )
+    return (
+        f"list_sum(list_transform(range(1, {DIM} + 1), i -> "
+        f"CAST(FLOOR(CAST({a}[i] AS DOUBLE) * 100.0) AS BIGINT) * "
+        f"CAST(FLOOR(CAST({b}[i] AS DOUBLE) * 100.0) AS BIGINT)))"
+    )
+
+
+def _plane_dot(dialect: str, a: str, j: int) -> str:
+    """Integer dot with a literal hyperplane."""
+    plane = _hyperplane(j)
+    if dialect == "spark":
+        arr = "array(" + ", ".join(str(v) for v in plane) + ")"
+        return (
+            f"aggregate(sequence(1, {DIM}), 0L, (acc, i) -> acc + "
+            f"CAST(FLOOR(CAST(element_at({a}, i) AS DOUBLE) * 100.0) AS BIGINT) * "
+            f"element_at({arr}, i))"
+        )
+    arr = "[" + ", ".join(str(v) for v in plane) + "]"
+    return (
+        f"list_sum(list_transform(range(1, {DIM} + 1), i -> "
+        f"CAST(FLOOR(CAST({a}[i] AS DOUBLE) * 100.0) AS BIGINT) * {arr}[i]))"
+    )
+
+
+def norms_sql(dialect: str) -> str:
+    """Quantized squared norm per vector (exact int)."""
+    return f"SELECT vec_id, label, {_qdot(dialect, 'embedding', 'embedding')} AS norm2 FROM embeddings"
+
+
+def ann_topk_sql(dialect: str, n_queries: int = 10, k: int = 5) -> str:
+    """Brute-force top-k by exact integer dot for the first n query
+    vectors; rank ties broken by vec_id (fully deterministic)."""
+    dot = _qdot(dialect, "q.embedding", "c.embedding")
+    return f"""
+    SELECT query_id, neighbor_id, dot, rnk
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {dot} AS dot,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {dot} DESC, c.vec_id
+             ) AS rnk
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {n_queries}
+    ) t
+    WHERE rnk <= {k}
+    """
+
+
+def lsh_buckets_sql(dialect: str) -> str:
+    """Sign-bit LSH bucket id per vector (the scale path's partition key)."""
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_dot(dialect, 'embedding', j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return f"SELECT vec_id, label, CAST({bits} AS BIGINT) AS bucket FROM embeddings"
+
+
+def lsh_candidate_pairs_sql(dialect: str) -> str:
+    """Same-bucket candidate pairs with their exact integer dot —
+    bucket equi-join then per-pair verification (ANN at scale)."""
+    buckets = lsh_buckets_sql(dialect)
+    dot = _qdot(dialect, "ea.embedding", "eb.embedding")
+    return f"""
+    WITH b AS ({buckets})
+    SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b, a.bucket,
+           {dot} AS dot
+    FROM b a
+    JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = bb.vec_id
+    """
+
+
+def near_dup_pairs_sql(dialect: str, cos_x1000: int = 950) -> str:
+    """Embedding near-duplicates: same-bucket pairs whose quantized cosine
+    (x1e6, floor) clears a threshold — cosine via exact integer
+    dot^2 * 1e12 / (n2a * n2b) compared against threshold^2."""
+    pairs = lsh_candidate_pairs_sql(dialect)
+    norms = norms_sql(dialect)
+    thr2 = cos_x1000 * cos_x1000  # compare dot^2*1e6 vs thr2*n2a*n2b
+    return f"""
+    WITH pairs AS ({pairs}), n AS ({norms})
+    SELECT vec_a, vec_b, dot, na.norm2 AS norm2_a, nb.norm2 AS norm2_b
+    FROM pairs
+    JOIN n na ON na.vec_id = vec_a
+    JOIN n nb ON nb.vec_id = vec_b
+    WHERE dot > 0
+      AND dot * dot * 1000000 >= {thr2} * na.norm2 * nb.norm2
+    """
+
+
+def knn_label_sql(dialect: str, n_queries: int = 20, k: int = 5) -> str:
+    """k-NN majority-vote label for the first n vectors (exclude self);
+    ties broken by smaller label (deterministic)."""
+    topk = ann_topk_sql(dialect, n_queries, k)
+    return f"""
+    WITH topk AS ({topk})
+    SELECT query_id, predicted_label
+    FROM (
+      SELECT query_id, label AS predicted_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY COUNT(*) DESC, label
+             ) AS rn
+      FROM topk JOIN embeddings e ON e.vec_id = topk.neighbor_id
+      GROUP BY query_id, label
+    ) t
+    WHERE rn = 1
+    """
