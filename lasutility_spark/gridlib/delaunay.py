@@ -74,6 +74,7 @@ class _Mesh:
         self.r2 = np.empty(cap)
         self.alive = np.zeros(cap, dtype=bool)
         self.n = 0
+        self.dead = 0
 
     def _grow(self):
         cap = len(self.tri) * 2
@@ -99,6 +100,20 @@ class _Mesh:
         )
         self.alive[i] = True
         self.n += 1
+
+    def compact(self):
+        """Drop dead slots so the per-insertion circumcircle scan stays
+        O(live triangles) instead of O(all ever created)."""
+        live = self.alive[: self.n]
+        k = int(live.sum())
+        self.tri[:k] = self.tri[: self.n][live]
+        self.ccx[:k] = self.ccx[: self.n][live]
+        self.ccy[:k] = self.ccy[: self.n][live]
+        self.r2[:k] = self.r2[: self.n][live]
+        self.alive[:k] = True
+        self.alive[k : self.n] = False
+        self.n = k
+        self.dead = 0
 
 
 def _cavity_boundary(edges: list[tuple[int, int]]) -> list[tuple[int, int]] | None:
@@ -172,6 +187,8 @@ def delaunay(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     mesh.add(s0, s1, s2, xs, ys)
 
     for p in order:
+        if mesh.n > 2048 and mesh.dead * 2 > mesh.n:
+            mesh.compact()
         px, py = float(xs[p]), float(ys[p])
         nn = mesh.n
         d2 = (px - mesh.ccx[:nn]) ** 2 + (py - mesh.ccy[:nn]) ** 2
@@ -214,6 +231,7 @@ def delaunay(x: np.ndarray, y: np.ndarray) -> np.ndarray:
                 raise RuntimeError("Delaunay cavity failed even with exact predicate")
 
         mesh.alive[bad] = False
+        mesh.dead += len(bad)
         for a, b in boundary:
             mesh.add(a, b, p, xs, ys)
 

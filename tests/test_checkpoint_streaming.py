@@ -1,0 +1,81 @@
+"""Checkpoint/resume contract + Structured Streaming parity with batch."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lasutility_spark.engine import checkpoint, streaming
+
+
+def test_checkpoint_write_and_resume(spark, tmp_path):
+    path = str(tmp_path / "stage1")
+    df = spark.createDataFrame(
+        pd.DataFrame({"cell_id": [1, 2, 3], "v": [10, 20, 30]})
+    )
+    m = checkpoint.write_stage(df, path, "tin", ["in.parquet"], {"px": 64})
+    assert m["row_count"] == 3
+    assert m["completed_keys"] == [1, 2, 3]
+    assert all(p["rows"] >= 1 for p in m["partitions"])
+    assert os.path.exists(os.path.join(path, checkpoint.SUCCESS))
+
+    wanted = spark.createDataFrame(pd.DataFrame({"cell_id": [1, 2, 3, 4, 5]}))
+    todo = checkpoint.pending_keys(spark, wanted, path, {"px": 64})
+    assert sorted(r["cell_id"] for r in todo.collect()) == [4, 5]
+    # parameter change invalidates the checkpoint
+    todo_all = checkpoint.pending_keys(spark, wanted, path, {"px": 128})
+    assert todo_all.count() == 5
+
+    calls = []
+
+    def compute(pending):
+        keys = [r["cell_id"] for r in pending.collect()]
+        calls.append(sorted(keys))
+        return spark.createDataFrame(
+            pd.DataFrame({"cell_id": keys, "v": [k * 10 for k in keys]})
+        )
+
+    out = checkpoint.resume_stage(
+        spark, wanted, path, compute, "tin", ["in.parquet"], {"px": 64}
+    )
+    assert calls == [[4, 5]]  # only missing tiles recomputed
+    assert sorted(r["cell_id"] for r in out.collect()) == [1, 2, 3, 4, 5]
+    # second resume: nothing pending, no recompute
+    out2 = checkpoint.resume_stage(
+        spark, wanted, path, compute, "tin", ["in.parquet"], {"px": 64}
+    )
+    assert calls == [[4, 5]]
+    assert out2.count() == 5
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    # the file stream source requires a directory; stage the single
+    # parquet file into one
+    import shutil
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet",
+        os.path.join(events_dir, "part-0.parquet"),
+    )
+    stream = streaming.events_hourly_stream(spark, events_dir)
+    rows = streaming.run_stream_once(stream, str(tmp_path / "ckpt"))
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value_x1000"])
+        for r in rows
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("s"),
+        )
+        .collect()
+    )
+    want = {(r["hour"], r["event_type"]): (r["n"], r["s"]) for r in batch}
+    assert got == want  # stream (availableNow) == batch, exactly
