@@ -213,10 +213,7 @@ _RELATIONAL: dict[str, tuple[Callable[[str], str], list[str]]] = {
     "txt_quality": (text.quality_sql, ["documents"]),
     "txt_token_hist": (text.token_hist_sql, ["documents"]),
     "dd_exact": (dedup.exact_dedup_sql, ["documents"]),
-    "dd_minhash_bands": (dedup.minhash_bands_sql, ["documents"]),
-    "dd_minhash_pairs": (dedup.minhash_pairs_sql, ["documents"]),
     "dd_simhash": (dedup.simhash_sql, ["documents"]),
-    "dd_ngram_jaccard": (dedup.ngram_jaccard_pairs_sql, ["documents"]),
     "sim_ann_topk": (similarity.ann_topk_sql, ["embeddings"]),
     "sim_lsh_buckets": (similarity.lsh_buckets_sql, ["embeddings"]),
     "sim_lsh_pairs": (similarity.lsh_candidate_pairs_sql, ["embeddings"]),
@@ -225,10 +222,30 @@ _RELATIONAL: dict[str, tuple[Callable[[str], str], list[str]]] = {
     "evt_hourly": (_events_sql, ["events"]),
 }
 
+def _minhash_bands_spark(spark, sf_dir):
+    _register(spark, sf_dir, ["documents"])
+    return dedup.minhash_bands_spark(spark)
+
+
+def _minhash_pairs_spark(spark, sf_dir):
+    _register(spark, sf_dir, ["documents"])
+    return dedup.minhash_pairs_spark(spark)
+
+
+def _ngram_jaccard_spark(spark, sf_dir):
+    _register(spark, sf_dir, ["documents"])
+    return dedup.ngram_jaccard_pairs_spark(spark)
+
+
 # kernel-path queries: Spark side is the real engine; oracle where possible
 _KERNEL_WITH_ORACLE = {
     "x1_tile_encode": (_tile_encode_spark, geosql.tile_encode_sql_query, ["lineitem"]),
     "x2_tile_envelope": (_tile_envelope_spark, geosql.tile_envelope_sql, ["lineitem"]),
+    # Spark side = Arrow-batched numpy signatures (HOF SQL is interpreted
+    # and ~10x slower); oracle keeps the SQL form — identical arithmetic
+    "dd_minhash_bands": (_minhash_bands_spark, dedup.minhash_bands_sql, ["documents"]),
+    "dd_minhash_pairs": (_minhash_pairs_spark, dedup.minhash_pairs_sql, ["documents"]),
+    "dd_ngram_jaccard": (_ngram_jaccard_spark, dedup.ngram_jaccard_pairs_sql, ["documents"]),
 }
 
 _ROWS_ONLY = {

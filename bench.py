@@ -53,13 +53,20 @@ def run_once() -> dict:
     extras: dict[str, float] = {}
 
     # --- q1: TIN rasterization (tiles/sec headline) ----------------------
+    # fused narrow path: one image = one tile -> no shuffle; explicit
+    # repartition defeats the small-file single-task trap
     t0 = time.time()
-    pts = epoints.decode_points(images)
-    tiles = tin_stage.rasterize_tin_tiles(pts, px=128, num_partitions=4 * CPUS)
+    tiles = tin_stage.rasterize_images_fused(images, px=128, partitions=4 * CPUS)
     n_out = tiles.count()
     timings["q1_tin_rasterize"] = time.time() - t0
     extras["tiles_per_sec"] = n_out / timings["q1_tin_rasterize"]
     extras["n_tiles"] = n_out
+
+    # --- q1b: general shuffle path (points from anywhere -> tiles) --------
+    t0 = time.time()
+    pts = epoints.decode_points(images.repartition(4 * CPUS))
+    tin_stage.rasterize_tin_tiles(pts, px=128, num_partitions=4 * CPUS).count()
+    timings["q1b_tin_shuffle_path"] = time.time() - t0
 
     # --- q2: PIP join (points/sec headline) ------------------------------
     feats = spark.read.parquet(f"{images_dir}/polygons.parquet").union(
@@ -76,7 +83,9 @@ def run_once() -> dict:
         tile_df, feats, classmap, px=128
     ).cache()
     pip_tiles.count()
-    classified = pip_stage.pip_classify_points(epoints.decode_points(images), pip_tiles)
+    classified = pip_stage.pip_classify_points(
+        epoints.decode_points(images.repartition(4 * CPUS)), pip_tiles
+    )
     n_points = classified.count()
     timings["q2_pip_join"] = time.time() - t0
     extras["pip_points_per_sec"] = n_points / timings["q2_pip_join"]

@@ -125,6 +125,68 @@ def rasterize_tin_tiles(
     return points.groupBy("cell_id").applyInPandas(kernel, TILE_SCHEMA)
 
 
+def rasterize_images_fused(images: DataFrame, px: int = 128,
+                           partitions: int | None = None) -> DataFrame:
+    """Shuffle-free flagship path: one image = one tile, and sampled
+    points land in their own tile by construction, so decode -> sample ->
+    Delaunay -> rasterize fuses into a single narrow mapInPandas pass —
+    no exchange at all (the general :func:`rasterize_tin_tiles` keeps the
+    shuffle for points that don't align with tiles).
+
+    The input scan is one small parquet file at test scale, so without an
+    explicit repartition the whole stage would run on ONE task — the
+    classic small-file parallelism trap (at 10^12 scale the table has
+    thousands of splits and this repartition becomes a no-op coalesce).
+    """
+    import pandas as pd
+
+    from .. import datagen as dg
+    from ..gridlib.png import png16_to_dem
+    from ..gridlib.tilenamer import cell_id as cid_fn
+
+    if partitions:
+        images = images.repartition(partitions)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for cap, data in zip(pdf["caption"], pdf["bytes"]):
+                name, minx, miny, maxx, maxy, cs, _ = dg.parse_caption(cap)
+                dem_in = png16_to_dem(bytes(data), dg.Z_MIN, dg.Z_MAX)
+                x, y, z, cls = dg.sample_points_from_tile(name, dem_in, minx, miny, cs)
+                bounds = RasterBounds(px, px, minx, miny, maxx, maxy)
+                dem = np.full((px, px), np.nan, dtype=np.float32)
+                n_tri = 0
+                if len(x) >= 3:
+                    tin = Tin(x, y, z, cls)
+                    n_tri = tin.triangle_count
+                    tin.rasterize_dem(bounds, dem=dem)
+                cell = int(cid_fn(np.array([minx]), np.array([miny]), 1000)[0])
+                caption = dg.CAPTION_FMT.format(
+                    name=name, minx=minx, miny=miny, maxx=maxx, maxy=maxy,
+                    cellsize=(maxx - minx) / px, nodata=-9999,
+                )
+                filled = int((~np.isnan(dem)).sum())
+                rows.append(
+                    {
+                        "cell_id": cell,
+                        "image_id": name,
+                        "bytes": dem_to_png16(dem, dg.Z_MIN, dg.Z_MAX),
+                        "w": px, "h": px, "fmt": "png16",
+                        "caption": caption,
+                        "phash": phash64(np.nan_to_num(dem)),
+                        "n_points": len(x),
+                        "n_triangles": n_tri,
+                        "filled_cells": filled,
+                        "missing_cells": px * px - filled,
+                    }
+                )
+            cols = [c.split()[0] for c in TILE_SCHEMA.split(", ")]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return images.select("caption", "bytes").mapInPandas(run, TILE_SCHEMA)
+
+
 def tile_metrics(tiles: DataFrame) -> DataFrame:
     """Stage-level lineage metrics (north rule: per-partition row counts)."""
     return tiles.select(

@@ -16,6 +16,8 @@ equi-join AQE can handle, and candidate verification stays per-pair.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from .text import P31
 
 K_MINHASH = 8  # permutations
@@ -97,6 +99,121 @@ def minhash_pairs_sql(dialect: str) -> str:
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     """
+
+
+# --- Spark-side vectorized implementations --------------------------------
+#
+# Spark's higher-order functions (transform/aggregate) are *interpreted*,
+# not codegen'd — at 5k docs x 2.5k shingles x 8 permutations the SQL
+# form costs ~50 s.  The Spark engine therefore computes signatures in an
+# Arrow-batched numpy UDF with the *identical* integer arithmetic (the
+# DuckDB oracle keeps the SQL form), then all joins/explodes stay JVM.
+
+
+def _shingle_hash_numpy(t: str):
+    """Exactly ascii(substr(text,i,1))-based 4-gram polynomial hashes.
+    Valid for ASCII corpora (byte == character); falls back to ord() per
+    char for non-ASCII."""
+    import numpy as np
+
+    raw = t.encode("utf-8")
+    if len(raw) == len(t):  # pure ASCII fast path
+        b = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    else:
+        b = np.fromiter((ord(c) for c in t), dtype=np.int64, count=len(t))
+    b = np.concatenate([b, np.zeros(4, dtype=np.int64)])  # substr past end -> 0
+    m = max(len(t) - 3, 1)
+    return (
+        b[0:m] * 29791 + b[1 : m + 1] * 961 + b[2 : m + 2] * 31 + b[3 : m + 3]
+    ) % P31
+
+
+def minhash_bands_spark(spark, rows_per_band: int = K_MINHASH // BANDS):
+    """DataFrame twin of minhash_bands_sql: numpy signature UDF + inline
+    band explode; output columns (doc_id, band, band_key) match the SQL
+    oracle bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    a_arr = _AS
+    b_arr = _BS
+
+    @F.pandas_udf("array<bigint>")
+    def sig_udf(text: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in text:
+            sh = _shingle_hash_numpy(t)
+            out.append(
+                [int(((a * sh + b) % P31).min()) for a, b in zip(a_arr, b_arr)]
+            )
+        return pd.Series(out)
+
+    docs = spark.table("documents").select("doc_id", sig_udf("text").alias("mh"))
+    structs = []
+    for b in range(BANDS):
+        i0 = b * rows_per_band
+        key = f"element_at(mh, {i0 + 1}) * {P31}"
+        for r in range(1, rows_per_band):
+            key += f" + element_at(mh, {i0 + r + 1})"
+        structs.append(f"struct({b}L AS band, CAST({key} AS BIGINT) AS band_key)")
+    return docs.select(
+        "doc_id", F.expr("inline(array(" + ", ".join(structs) + "))")
+    )
+
+
+def minhash_pairs_spark(spark):
+    bands = minhash_bands_spark(spark)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    from pyspark.sql import functions as F
+
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs_spark(spark, threshold_x1000: int = 100):
+    """Verify step: distinct-shingle arrays from the numpy UDF, then JVM
+    array_intersect/array_union on LSH candidate pairs."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("array<bigint>")
+    def shingles_udf(text: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series([np.unique(_shingle_hash_numpy(t)).tolist() for t in text])
+
+    pairs = minhash_pairs_spark(spark)
+    sh = spark.table("documents").select(
+        "doc_id", shingles_udf("text").alias("s")
+    )
+    j = (
+        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa.s", "sb.s")).cast("long").alias("inter"),
+            F.size(F.array_union("sa.s", "sb.s")).cast("long").alias("uni"),
+        )
+    )
+    return j.where(
+        (F.col("inter") * 1000.0) / F.col("uni") >= threshold_x1000
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.floor((F.col("inter") * 1000.0) / F.col("uni"))
+        .cast("long")
+        .alias("jaccard_x1000"),
+    )
 
 
 def simhash_sql(dialect: str, bits: int = 16) -> str:
