@@ -45,28 +45,47 @@ def run_once() -> dict:
 
     sf = _sf_of(SF_DIR)
     spark = get_spark(CPUS, app=f"bench_c{CPUS}")
-    images_dir = datagen.ensure_images_table(sf)
+    n_override = os.environ.get("SPARK_GRAFT_TILES")
+    images_dir = datagen.ensure_images_table(
+        sf, n_tiles=int(n_override) if n_override else None
+    )
+    warm = os.environ.get("SPARK_GRAFT_BENCH_WARM") == "1"
     images = epoints.read_images(spark, images_dir).cache()
     n_tiles = images.count()
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    def timed(key, thunk, action=lambda df: df.count()):
+        """time a query; in warm mode run twice and keep the steady-state
+        (2nd) run — JVM JIT + python-worker spawn amortize away on a real
+        long-lived cluster."""
+        if warm:
+            action(thunk())
+        t0 = time.time()
+        n = action(thunk())
+        timings[key] = time.time() - t0
+        return n
+
     # --- q1: TIN rasterization (tiles/sec headline) ----------------------
     # fused narrow path: one image = one tile -> no shuffle; explicit
     # repartition defeats the small-file single-task trap
-    t0 = time.time()
-    tiles = tin_stage.rasterize_images_fused(images, px=128, partitions=4 * CPUS)
-    n_out = tiles.count()
-    timings["q1_tin_rasterize"] = time.time() - t0
+    n_out = timed(
+        "q1_tin_rasterize",
+        lambda: tin_stage.rasterize_images_fused(images, px=128, partitions=4 * CPUS),
+    )
     extras["tiles_per_sec"] = n_out / timings["q1_tin_rasterize"]
     extras["n_tiles"] = n_out
 
     # --- q1b: general shuffle path (points from anywhere -> tiles) --------
-    t0 = time.time()
-    pts = epoints.decode_points(images.repartition(4 * CPUS))
-    tin_stage.rasterize_tin_tiles(pts, px=128, num_partitions=4 * CPUS).count()
-    timings["q1b_tin_shuffle_path"] = time.time() - t0
+    timed(
+        "q1b_tin_shuffle_path",
+        lambda: tin_stage.rasterize_tin_tiles(
+            epoints.decode_points(images.repartition(4 * CPUS)),
+            px=128,
+            num_partitions=4 * CPUS,
+        ),
+    )
 
     # --- q2: PIP join (points/sec headline) ------------------------------
     feats = spark.read.parquet(f"{images_dir}/polygons.parquet").union(
@@ -78,36 +97,26 @@ def run_once() -> dict:
         pd.DataFrame({"cell_id": cid_fn(mins[:, 0], mins[:, 1], 1000)})
     )
     classmap = {**topodb.ALL_POLYGON, **topodb.ALL_LINE}
-    t0 = time.time()
-    pip_tiles = pip_stage.rasterize_features_cogrouped(
-        tile_df, feats, classmap, px=128
-    ).cache()
-    pip_tiles.count()
-    classified = pip_stage.pip_classify_points(
-        epoints.decode_points(images.repartition(4 * CPUS)), pip_tiles
-    )
-    n_points = classified.count()
-    timings["q2_pip_join"] = time.time() - t0
+
+    def q2():
+        pip_tiles = pip_stage.rasterize_features_cogrouped(
+            tile_df, feats, classmap, px=128
+        )
+        return pip_stage.pip_classify_points(
+            epoints.decode_points(images.repartition(4 * CPUS)), pip_tiles
+        )
+
+    n_points = timed("q2_pip_join", q2)
     extras["pip_points_per_sec"] = n_points / timings["q2_pip_join"]
     extras["n_points"] = n_points
 
-    # --- q3: voxel surface model over driver lineitem ---------------------
+    # --- q3-q5: relational headline queries -------------------------------
     import __spark_entry__ as m
 
     q = m.queries()
-    t0 = time.time()
-    q["s14_surface_model"](spark, SF_DIR).count()
-    timings["q3_surface_model"] = time.time() - t0
-
-    # --- q4: MinHash-LSH dedup over documents -----------------------------
-    t0 = time.time()
-    q["dd_minhash_pairs"](spark, SF_DIR).count()
-    timings["q4_minhash_dedup"] = time.time() - t0
-
-    # --- q5: ANN top-k over embeddings ------------------------------------
-    t0 = time.time()
-    q["sim_ann_topk"](spark, SF_DIR).count()
-    timings["q5_ann_topk"] = time.time() - t0
+    timed("q3_surface_model", lambda: q["s14_surface_model"](spark, SF_DIR))
+    timed("q4_minhash_dedup", lambda: q["dd_minhash_pairs"](spark, SF_DIR))
+    timed("q5_ann_topk", lambda: q["sim_ann_topk"](spark, SF_DIR))
 
     spark.stop()
     total = sum(timings.values())
@@ -123,10 +132,23 @@ def run_once() -> dict:
 
 
 def run_scaling() -> None:
-    """Two-parallelism evidence run -> BENCH/BASELINE.md."""
+    """Two-parallelism evidence run -> BENCH/BASELINE.md.
+
+    Uses a larger dedicated tile table (default 1024 tiles) and
+    steady-state (warm, 2nd-run) timing so the fixed JVM/session startup
+    — which a long-lived cluster amortizes — doesn't masquerade as poor
+    scaling at sandbox data sizes.
+    """
     results = {}
+    scaling_tiles = os.environ.get("SPARK_GRAFT_SCALING_TILES", "1024")
     for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_SF_DIR=SF_DIR,
+            SPARK_GRAFT_TILES=scaling_tiles,
+            SPARK_GRAFT_BENCH_WARM="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,

@@ -227,14 +227,17 @@ def gen_features(area_tiles: list[str], n_polygons: int, n_lines: int):
 SF_TILES = {0.001: 9, 0.01: 36, 0.1: 256}
 
 
-def ensure_images_table(sf: float, base_dir: str = "/root/repo/.cache") -> str:
+def ensure_images_table(
+    sf: float, base_dir: str = "/root/repo/.cache", n_tiles: int | None = None
+) -> str:
     """Write (once) and return the path of the deterministic images table
-    for a scale factor; also writes polygons/lines feature tables."""
+    for a scale factor (or an explicit tile count); also writes
+    polygons/lines feature tables."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    n = SF_TILES.get(sf, max(9, int(2560 * sf)))
-    out = os.path.join(base_dir, f"images_sf{sf}")
+    n = n_tiles if n_tiles else SF_TILES.get(sf, max(9, int(2560 * sf)))
+    out = os.path.join(base_dir, f"images_n{n}" if n_tiles else f"images_sf{sf}")
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out

@@ -227,6 +227,10 @@ def pip_classify_points(
 
     if "cell_id" not in points.columns:
         points = with_cell_id(points, size_north)
+    # co-locate points with their tile BEFORE the broadcast join: without
+    # this every task touches (and decodes) almost every tile, so adding
+    # workers multiplies redundant decode work instead of dividing it
+    points = points.repartition("cell_id")
     joined = points.join(
         pip_tiles.select("cell_id", "bytes", "caption"), "cell_id", "left"
     )

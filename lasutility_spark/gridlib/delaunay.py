@@ -171,16 +171,27 @@ def delaunay(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     # drop exact duplicates, keep first occurrence
     _, first_idx = np.unique(np.stack([x, y], axis=1), axis=0, return_index=True)
     order = np.sort(first_idx)
+    # randomized insertion order (fixed seed — input-deterministic):
+    # scan-ordered inserts grow long skinny triangles and ~25-edge
+    # cavities; the classic BW randomization keeps cavities ~6 edges
+    order = order[np.random.RandomState(0x5EED).permutation(len(order))]
 
     minx, maxx = float(x.min()), float(x.max())
     miny, maxy = float(y.min()), float(y.max())
     span = max(maxx - minx, maxy - miny, 1.0)
     cx0, cy0 = (minx + maxx) / 2.0, (miny + maxy) / 2.0
 
+    # translate to local coordinates: Delaunay is translation-invariant,
+    # and circumcircle determinants on absolute ETRS coordinates (~6.6e6)
+    # lose ~13 digits to cancellation — which made every co-circular
+    # (grid-aligned) test a tie and forced the slow exact fallback
+    x = x - cx0
+    y = y - cy0
+
     # super-triangle well outside the data
     m = 32.0 * span
-    xs = np.concatenate([x, [cx0 - m, cx0 + m, cx0]])
-    ys = np.concatenate([y, [cy0 - m, cy0 - m, cy0 + m]])
+    xs = np.concatenate([x, [-m, m, 0.0]])
+    ys = np.concatenate([y, [-m, -m, m]])
     s0, s1, s2 = n, n + 1, n + 2
 
     mesh = _Mesh(max(16, 4 * n))
