@@ -219,43 +219,44 @@ def pip_classify_points(
     """PIP classification rows: each point gets the rasterized class value
     of its cell (the reference's point->terrain-class query, A9/V5 join).
 
-    Equi-join points to their tile row on cell_id, then an Arrow kernel
-    indexes the decoded raster — a point-lookup join, broadcast when the
-    tile table is small."""
+    Physical design: **cogroup on cell_id**, not a row join.  A join would
+    duplicate the tile's encoded raster (KBs) onto every matching point
+    row, so the Arrow transfer to Python grows as points x tile_bytes and
+    adding workers just multiplies memory pressure (measured: local[32]
+    2x *slower* than local[8] at sf0.1).  Cogrouping ships each raster
+    across the shuffle exactly once, decodes it once per group, and
+    indexes all of the group's points vectorized — transfer scales as
+    points + tiles.  Points whose cell has no tile row get value -1
+    (left-join semantics)."""
     from ..gridlib.png import png_decode
     from .tiling import with_cell_id
 
     if "cell_id" not in points.columns:
         points = with_cell_id(points, size_north)
-    # co-locate points with their tile BEFORE the broadcast join: without
-    # this every task touches (and decodes) almost every tile, so adding
-    # workers multiplies redundant decode work instead of dividing it
-    points = points.repartition("cell_id")
-    joined = points.join(
-        pip_tiles.select("cell_id", "bytes", "caption"), "cell_id", "left"
+
+    def run(key, pts: pd.DataFrame, tiles: pd.DataFrame) -> pd.DataFrame:
+        if pts.empty:  # tile with no points in this input
+            return pd.DataFrame({"x": pd.Series(dtype="f8"),
+                                 "y": pd.Series(dtype="f8"),
+                                 "value": pd.Series(dtype="i4")})
+        xs = pts["x"].to_numpy()
+        ys = pts["y"].to_numpy()
+        if tiles.empty:
+            vals = np.full(len(pts), -1, dtype=np.int32)
+        else:
+            _, minx, miny, _, _, cs, _ = datagen.parse_caption(
+                tiles["caption"].iloc[0]
+            )
+            r = png_decode(bytes(tiles["bytes"].iloc[0]))
+            row = ((ys - miny) / cs).astype(np.int64)
+            col = ((xs - minx) / cs).astype(np.int64)
+            vals = r[row, col].astype(np.int32)
+        out = pts[["x", "y"]].copy()
+        out["value"] = vals
+        return out
+
+    return (
+        points.groupBy("cell_id")
+        .cogroup(pip_tiles.select("cell_id", "bytes", "caption").groupBy("cell_id"))
+        .applyInPandas(run, "x double, y double, value int")
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[str, np.ndarray] = {}
-        for pdf in batches:
-            vals = np.full(len(pdf), -1, dtype=np.int32)
-            has = pdf["bytes"].notna().to_numpy()
-            caps = pdf["caption"].to_numpy()
-            xs = pdf["x"].to_numpy()
-            ys = pdf["y"].to_numpy()
-            # vectorized per unique tile in the batch: decode once, index all
-            for cap in pd.unique(pdf.loc[has, "caption"]):
-                sel = has & (caps == cap)
-                name, minx, miny, _, _, cs, _ = datagen.parse_caption(cap)
-                r = cache.get(name)
-                if r is None:
-                    r = png_decode(bytes(pdf.loc[sel, "bytes"].iloc[0]))
-                    cache[name] = r
-                row = ((ys[sel] - miny) / cs).astype(np.int64)
-                col = ((xs[sel] - minx) / cs).astype(np.int64)
-                vals[sel] = r[row, col]
-            out = pdf[["x", "y"]].copy()
-            out["value"] = vals
-            yield out
-
-    return joined.mapInPandas(run, "x double, y double, value int")

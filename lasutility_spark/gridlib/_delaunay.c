@@ -1,0 +1,336 @@
+/* Sweep-hull 2-D Delaunay triangulation.
+ *
+ * Fresh C implementation of the Delaunator algorithm (Mapbox, ISC; the
+ * published sweep-circle variant of incremental insertion with an
+ * advancing convex-hull front and pseudo-angle hull hashing).  Role
+ * parity with the reference's DelaunatorSharp dependency
+ * (LasUtility/DEM/Triangulation.cs:58-72) — same algorithm family the
+ * reference uses, NOT a port of reference code.
+ *
+ * API (ctypes):
+ *   int64_t lsu_triangulate(int64_t n, const double *x, const double *y,
+ *                           int64_t *out_tri);   [capacity 3 * 2n]
+ *   returns number of triangles (>= 0), or -1 on allocation failure,
+ *   -2 when the input is fully collinear (caller emits 0 triangles).
+ *
+ * Determinism: ties in the radial sort break by point index, so the
+ * output depends only on the input point sequence — never on memory
+ * layout or parallelism (required: local[8] == local[32] bit-equality).
+ *
+ * Numerical notes: plain double-precision predicates (like upstream
+ * Delaunator).  The engine feeds tile-local coordinates (|xy| ~ 1e3),
+ * where grid-aligned inputs make every orient/incircle determinant
+ * integer-valued and exact in doubles; the Python wrapper
+ * property-checks nothing at runtime but the test suite pins empty
+ * circumcircles on co-circular grids (tests/test_delaunay_tin.py).
+ */
+
+#include <math.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define EPS 2.220446049250313e-16 /* 2^-52 */
+
+typedef struct {
+    int64_t n;
+    const double *x, *y;
+    int64_t *triangles;  /* 3 * max_tri */
+    int64_t *halfedges;  /* 3 * max_tri */
+    int64_t tri_len;     /* in half-edge slots (3 per triangle) */
+    int64_t *hull_prev, *hull_next, *hull_tri;
+    int64_t *hull_hash;
+    int64_t hash_size;
+    int64_t hull_start;
+    double cx, cy; /* sort center = seed circumcenter */
+    int64_t *stack;
+    int64_t stack_cap;
+} ctx_t;
+
+/* positive <=> (a,b,c) counter-clockwise */
+static inline double orient2d(double ax, double ay, double bx, double by,
+                              double cx, double cy) {
+    return (ax - cx) * (by - cy) - (ay - cy) * (bx - cx);
+}
+
+/* squared circumradius of (a,b,c); HUGE_VAL when degenerate */
+static inline double circumradius2(double ax, double ay, double bx, double by,
+                                   double cx, double cy) {
+    double dx = bx - ax, dy = by - ay, ex = cx - ax, ey = cy - ay;
+    double bl = dx * dx + dy * dy, cl = ex * ex + ey * ey;
+    double det = dx * ey - dy * ex;
+    if (det == 0.0) return HUGE_VAL;
+    double d = 0.5 / det;
+    double px = (ey * bl - dy * cl) * d, py = (dx * cl - ex * bl) * d;
+    return px * px + py * py;
+}
+
+static inline void circumcenter(double ax, double ay, double bx, double by,
+                                double cx, double cy, double *ox, double *oy) {
+    double dx = bx - ax, dy = by - ay, ex = cx - ax, ey = cy - ay;
+    double bl = dx * dx + dy * dy, cl = ex * ex + ey * ey;
+    double d = 0.5 / (dx * ey - dy * ex);
+    *ox = ax + (ey * bl - dy * cl) * d;
+    *oy = ay + (dx * cl - ex * bl) * d;
+}
+
+/* true <=> p strictly inside the circumcircle of CCW triangle (a,b,c) */
+static inline int in_circle(double ax, double ay, double bx, double by,
+                            double cx, double cy, double px, double py) {
+    double dx = ax - px, dy = ay - py;
+    double ex = bx - px, ey = by - py;
+    double fx = cx - px, fy = cy - py;
+    double ap = dx * dx + dy * dy;
+    double bp = ex * ex + ey * ey;
+    double cp = fx * fx + fy * fy;
+    /* determinant > 0 <=> p strictly inside for CCW (a,b,c); the classic
+       "< 0" form assumes y-down screen coordinates (CW winding) */
+    return dx * (ey * cp - bp * fy) - dy * (ex * cp - bp * fx) +
+               ap * (ex * fy - ey * fx) >
+           0.0;
+}
+
+/* monotone pseudo-angle of (dx,dy) in [0,1) — radial hull hash key */
+static inline double pseudo_angle(double dx, double dy) {
+    double p = dx / (fabs(dx) + fabs(dy));
+    return (dy > 0.0 ? 3.0 - p : 1.0 + p) / 4.0;
+}
+
+static inline int64_t hash_key(ctx_t *c, double x, double y) {
+    int64_t k =
+        (int64_t)floor(pseudo_angle(x - c->cx, y - c->cy) * (double)c->hash_size);
+    return ((k % c->hash_size) + c->hash_size) % c->hash_size;
+}
+
+static inline void link_he(ctx_t *c, int64_t a, int64_t b) {
+    c->halfedges[a] = b;
+    if (b != -1) c->halfedges[b] = a;
+}
+
+static int64_t add_triangle(ctx_t *c, int64_t i0, int64_t i1, int64_t i2,
+                            int64_t a, int64_t b, int64_t d) {
+    int64_t t = c->tri_len;
+    c->triangles[t] = i0;
+    c->triangles[t + 1] = i1;
+    c->triangles[t + 2] = i2;
+    link_he(c, t, a);
+    link_he(c, t + 1, b);
+    link_he(c, t + 2, d);
+    c->tri_len += 3;
+    return t;
+}
+
+static int64_t legalize(ctx_t *c, int64_t a) {
+    int64_t i = 0, ar = 0;
+    const double *x = c->x, *y = c->y;
+    for (;;) {
+        int64_t b = c->halfedges[a];
+        int64_t a0 = a - a % 3;
+        ar = a0 + (a + 2) % 3;
+        if (b == -1) {
+            if (i == 0) break;
+            a = c->stack[--i];
+            continue;
+        }
+        int64_t b0 = b - b % 3;
+        int64_t al = a0 + (a + 1) % 3;
+        int64_t bl = b0 + (b + 2) % 3;
+        int64_t p0 = c->triangles[ar];
+        int64_t pr = c->triangles[a];
+        int64_t pl = c->triangles[al];
+        int64_t p1 = c->triangles[bl];
+        int illegal = in_circle(x[p0], y[p0], x[pr], y[pr], x[pl], y[pl],
+                                x[p1], y[p1]);
+        if (illegal) {
+            c->triangles[a] = p1;
+            c->triangles[b] = p0;
+            int64_t hbl = c->halfedges[bl];
+            if (hbl == -1) { /* flipped edge touched the hull: repoint it */
+                int64_t e = c->hull_start;
+                do {
+                    if (c->hull_tri[e] == bl) {
+                        c->hull_tri[e] = a;
+                        break;
+                    }
+                    e = c->hull_prev[e];
+                } while (e != c->hull_start);
+            }
+            link_he(c, a, hbl);
+            link_he(c, b, c->halfedges[ar]);
+            link_he(c, ar, bl);
+            int64_t br = b0 + (b + 1) % 3;
+            if (i < c->stack_cap) c->stack[i++] = br;
+        } else {
+            if (i == 0) break;
+            a = c->stack[--i];
+        }
+    }
+    return ar;
+}
+
+typedef struct {
+    double d;
+    int64_t id;
+} dist_id_t;
+
+static int cmp_dist_id(const void *pa, const void *pb) {
+    const dist_id_t *a = (const dist_id_t *)pa, *b = (const dist_id_t *)pb;
+    if (a->d < b->d) return -1;
+    if (a->d > b->d) return 1;
+    if (a->id < b->id) return -1; /* deterministic tie-break */
+    if (a->id > b->id) return 1;
+    return 0;
+}
+
+int64_t lsu_triangulate(int64_t n, const double *x, const double *y,
+                        int64_t *out_tri) {
+    if (n < 3) return 0;
+
+    double minx = HUGE_VAL, miny = HUGE_VAL, maxx = -HUGE_VAL, maxy = -HUGE_VAL;
+    for (int64_t i = 0; i < n; i++) {
+        if (x[i] < minx) minx = x[i];
+        if (x[i] > maxx) maxx = x[i];
+        if (y[i] < miny) miny = y[i];
+        if (y[i] > maxy) maxy = y[i];
+    }
+    double bcx = (minx + maxx) / 2.0, bcy = (miny + maxy) / 2.0;
+
+    /* seed: closest to bbox center, its nearest neighbor, then the third
+       point minimizing the circumradius */
+    int64_t i0 = 0;
+    double best = HUGE_VAL;
+    for (int64_t i = 0; i < n; i++) {
+        double d = (x[i] - bcx) * (x[i] - bcx) + (y[i] - bcy) * (y[i] - bcy);
+        if (d < best) { best = d; i0 = i; }
+    }
+    int64_t i1 = -1;
+    best = HUGE_VAL;
+    for (int64_t i = 0; i < n; i++) {
+        if (i == i0) continue;
+        double d = (x[i] - x[i0]) * (x[i] - x[i0]) + (y[i] - y[i0]) * (y[i] - y[i0]);
+        if (d < best) { best = d; i1 = i; }
+    }
+    int64_t i2 = -1;
+    best = HUGE_VAL;
+    for (int64_t i = 0; i < n; i++) {
+        if (i == i0 || i == i1) continue;
+        double r = circumradius2(x[i0], y[i0], x[i1], y[i1], x[i], y[i]);
+        if (r < best) { best = r; i2 = i; }
+    }
+    if (i2 == -1 || best == HUGE_VAL) return -2; /* fully collinear */
+
+    if (orient2d(x[i0], y[i0], x[i1], y[i1], x[i2], y[i2]) < 0.0) {
+        int64_t t = i1; i1 = i2; i2 = t; /* make seed CCW */
+    }
+
+    int64_t max_tri = 2 * n - 5;
+    ctx_t c;
+    memset(&c, 0, sizeof(c));
+    c.n = n; c.x = x; c.y = y;
+    c.hash_size = (int64_t)ceil(sqrt((double)n));
+    if (c.hash_size < 1) c.hash_size = 1;
+    c.stack_cap = 512;
+    c.triangles = (int64_t *)malloc(sizeof(int64_t) * 3 * max_tri);
+    c.halfedges = (int64_t *)malloc(sizeof(int64_t) * 3 * max_tri);
+    c.hull_prev = (int64_t *)malloc(sizeof(int64_t) * n);
+    c.hull_next = (int64_t *)malloc(sizeof(int64_t) * n);
+    c.hull_tri = (int64_t *)malloc(sizeof(int64_t) * n);
+    c.hull_hash = (int64_t *)malloc(sizeof(int64_t) * c.hash_size);
+    c.stack = (int64_t *)malloc(sizeof(int64_t) * c.stack_cap);
+    dist_id_t *order = (dist_id_t *)malloc(sizeof(dist_id_t) * n);
+    if (!c.triangles || !c.halfedges || !c.hull_prev || !c.hull_next ||
+        !c.hull_tri || !c.hull_hash || !c.stack || !order) {
+        free(c.triangles); free(c.halfedges); free(c.hull_prev);
+        free(c.hull_next); free(c.hull_tri); free(c.hull_hash);
+        free(c.stack); free(order);
+        return -1;
+    }
+
+    circumcenter(x[i0], y[i0], x[i1], y[i1], x[i2], y[i2], &c.cx, &c.cy);
+    for (int64_t i = 0; i < n; i++) {
+        order[i].d = (x[i] - c.cx) * (x[i] - c.cx) + (y[i] - c.cy) * (y[i] - c.cy);
+        order[i].id = i;
+    }
+    qsort(order, (size_t)n, sizeof(dist_id_t), cmp_dist_id);
+
+    c.hull_start = i0;
+    c.hull_next[i0] = i1; c.hull_prev[i2] = i1;
+    c.hull_next[i1] = i2; c.hull_prev[i0] = i2;
+    c.hull_next[i2] = i0; c.hull_prev[i1] = i0;
+    c.hull_tri[i0] = 0; c.hull_tri[i1] = 1; c.hull_tri[i2] = 2;
+    for (int64_t i = 0; i < c.hash_size; i++) c.hull_hash[i] = -1;
+    c.hull_hash[hash_key(&c, x[i0], y[i0])] = i0;
+    c.hull_hash[hash_key(&c, x[i1], y[i1])] = i1;
+    c.hull_hash[hash_key(&c, x[i2], y[i2])] = i2;
+
+    c.tri_len = 0;
+    add_triangle(&c, i0, i1, i2, -1, -1, -1);
+
+    double xp = HUGE_VAL, yp = HUGE_VAL;
+    for (int64_t k = 0; k < n; k++) {
+        int64_t i = order[k].id;
+        double xi = x[i], yi = y[i];
+        if (k > 0 && fabs(xi - xp) <= EPS && fabs(yi - yp) <= EPS) continue;
+        xp = xi; yp = yi;
+        if (i == i0 || i == i1 || i == i2) continue;
+
+        /* locate a visible hull edge via the radial hash */
+        int64_t start = 0;
+        int64_t key = hash_key(&c, xi, yi);
+        for (int64_t j = 0; j < c.hash_size; j++) {
+            start = c.hull_hash[(key + j) % c.hash_size];
+            if (start != -1 && start != c.hull_next[start]) break;
+        }
+        start = c.hull_prev[start];
+        int64_t e = start, q;
+        for (;;) {
+            q = c.hull_next[e];
+            if (orient2d(xi, yi, x[e], y[e], x[q], y[q]) < 0.0) break;
+            e = q;
+            if (e == start) { e = -1; break; }
+        }
+        if (e == -1) continue; /* near-duplicate / inside numerically */
+
+        int64_t t = add_triangle(&c, e, i, c.hull_next[e], -1, -1, c.hull_tri[e]);
+        c.hull_tri[i] = legalize(&c, t + 2);
+        c.hull_tri[e] = t;
+
+        /* walk forward, adding triangles while the next edge is visible */
+        int64_t nn = c.hull_next[e];
+        for (;;) {
+            q = c.hull_next[nn];
+            if (!(orient2d(xi, yi, x[nn], y[nn], x[q], y[q]) < 0.0)) break;
+            t = add_triangle(&c, nn, i, q, c.hull_tri[i], -1, c.hull_tri[nn]);
+            c.hull_tri[i] = legalize(&c, t + 2);
+            c.hull_next[nn] = nn; /* mark removed */
+            nn = q;
+        }
+        /* walk backward */
+        if (e == start) {
+            for (;;) {
+                q = c.hull_prev[e];
+                if (!(orient2d(xi, yi, x[q], y[q], x[e], y[e]) < 0.0)) break;
+                t = add_triangle(&c, q, i, e, -1, c.hull_tri[e], c.hull_tri[q]);
+                legalize(&c, t + 2);
+                c.hull_tri[q] = t;
+                c.hull_next[e] = e; /* mark removed */
+                e = q;
+            }
+        }
+        c.hull_start = e;
+        c.hull_prev[i] = e;
+        c.hull_next[e] = i;
+        c.hull_prev[nn] = i;
+        c.hull_next[i] = nn;
+        c.hull_hash[hash_key(&c, xi, yi)] = i;
+        c.hull_hash[hash_key(&c, x[e], y[e])] = e;
+    }
+
+    int64_t n_tri = c.tri_len / 3;
+    memcpy(out_tri, c.triangles, sizeof(int64_t) * 3 * n_tri);
+
+    free(c.triangles); free(c.halfedges); free(c.hull_prev);
+    free(c.hull_next); free(c.hull_tri); free(c.hull_hash);
+    free(c.stack); free(order);
+    return n_tri;
+}

@@ -26,6 +26,8 @@ from fractions import Fraction
 
 import numpy as np
 
+from . import _native
+
 _SLACK = 1e-12
 
 
@@ -170,16 +172,34 @@ def delaunay(x: np.ndarray, y: np.ndarray) -> np.ndarray:
 
     # drop exact duplicates, keep first occurrence
     _, first_idx = np.unique(np.stack([x, y], axis=1), axis=0, return_index=True)
-    order = np.sort(first_idx)
-    # randomized insertion order (fixed seed — input-deterministic):
-    # scan-ordered inserts grow long skinny triangles and ~25-edge
-    # cavities; the classic BW randomization keeps cavities ~6 edges
-    order = order[np.random.RandomState(0x5EED).permutation(len(order))]
+    keep_idx = np.sort(first_idx)
 
     minx, maxx = float(x.min()), float(x.max())
     miny, maxy = float(y.min()), float(y.max())
     span = max(maxx - minx, maxy - miny, 1.0)
     cx0, cy0 = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+
+    # fast path: C sweep-hull kernel (~50x the pure-python fallback),
+    # fed tile-local coordinates so grid-aligned inputs keep exact
+    # double-precision predicates (see delaunay.py translation note below)
+    tri_local = _native.triangulate(x[keep_idx] - cx0, y[keep_idx] - cy0)
+    if tri_local is not None:
+        tri = keep_idx[tri_local]
+        if len(tri):
+            ax, ay = x[tri[:, 0]], y[tri[:, 0]]
+            bx, by = x[tri[:, 1]], y[tri[:, 1]]
+            cx_, cy_ = x[tri[:, 2]], y[tri[:, 2]]
+            area2 = (bx - ax) * (cy_ - ay) - (by - ay) * (cx_ - ax)
+            flip = area2 < 0  # normalize to CCW (winding contract of Tin)
+            tri[flip, 1], tri[flip, 2] = tri[flip, 2], tri[flip, 1]
+            tri = tri[area2 != 0.0]
+        return tri
+
+    # pure-python Bowyer-Watson fallback ----------------------------------
+    # randomized insertion order (fixed seed — input-deterministic):
+    # scan-ordered inserts grow long skinny triangles and ~25-edge
+    # cavities; the classic BW randomization keeps cavities ~6 edges
+    order = keep_idx[np.random.RandomState(0x5EED).permutation(len(keep_idx))]
 
     # translate to local coordinates: Delaunay is translation-invariant,
     # and circumcircle determinants on absolute ETRS coordinates (~6.6e6)
