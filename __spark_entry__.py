@@ -140,16 +140,12 @@ def _pip_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized feature tables (rows-only; parity pinned by pytest)."""
     images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
     images = epoints.read_images(spark, images_dir)
+    from lasutility_spark.engine.tiling import cell_id_from_caption
+
     feats = spark.read.parquet(f"{images_dir}/polygons.parquet").union(
         spark.read.parquet(f"{images_dir}/lines.parquet")
     )
-    caps = images.select("caption").toPandas()["caption"]
-    mins = np.array([datagen.parse_caption(c)[1:3] for c in caps])
-    from lasutility_spark.gridlib.tilenamer import cell_id as cid_fn
-
-    tile_df = spark.createDataFrame(
-        pd.DataFrame({"cell_id": cid_fn(mins[:, 0], mins[:, 1], 1000)})
-    )
+    tile_df = images.select(cell_id_from_caption(1000).alias("cell_id"))
     classmap = {**topodb.ALL_POLYGON, **topodb.ALL_LINE}
     out = pip_stage.rasterize_features_cogrouped(tile_df, feats, classmap, px=64)
     return out.select("cell_id", "image_id", "w", "h", "n_features", "painted_cells")
@@ -159,14 +155,10 @@ def _pip_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point->class PIP lookup join (rows-only)."""
     images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
     images = epoints.read_images(spark, images_dir)
-    feats = spark.read.parquet(f"{images_dir}/polygons.parquet")
-    caps = images.select("caption").toPandas()["caption"]
-    mins = np.array([datagen.parse_caption(c)[1:3] for c in caps])
-    from lasutility_spark.gridlib.tilenamer import cell_id as cid_fn
+    from lasutility_spark.engine.tiling import cell_id_from_caption
 
-    tile_df = spark.createDataFrame(
-        pd.DataFrame({"cell_id": cid_fn(mins[:, 0], mins[:, 1], 1000)})
-    )
+    feats = spark.read.parquet(f"{images_dir}/polygons.parquet")
+    tile_df = images.select(cell_id_from_caption(1000).alias("cell_id"))
     pip_tiles = pip_stage.rasterize_features_broadcast(
         spark, tile_df, feats, topodb.ALL_POLYGON, px=64
     )
@@ -199,6 +191,7 @@ _RELATIONAL: dict[str, tuple[Callable[[str], str], list[str]]] = {
     "x4_cell_corners": (geosql.cell_corners_sql, ["lineitem"]),
     "a2_ground_dem": (geosql.ground_dem_sql, ["lineitem"]),
     "a4_bins_ranked": (geosql.bins_ranked_sql, ["lineitem"]),
+    "a5_highest_in_class": (geosql.highest_in_class_sql, ["lineitem"]),
     "a6_heights_range": (geosql.heights_range_sql, ["lineitem"]),
     "s14_surface_model": (geosql.surface_model_sql, ["lineitem"]),
     "a7_neighborhood_max": (geosql.neighborhood_max_sql, ["lineitem"]),

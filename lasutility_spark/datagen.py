@@ -255,9 +255,13 @@ def ensure_images_table(
             ("phash", pa.int64()),
         ]
     )
+    # small row groups => many parquet splits => the Spark scan itself is
+    # parallel (no single-task repartition source stage); at 10^12 scale
+    # the table naturally has thousands of files/groups, this mirrors that
     pq.write_table(
         pa.Table.from_pandas(df, schema=schema, preserve_index=False),
         os.path.join(out, "images.parquet"),
+        row_group_size=64,
     )
     pdf, ldf = gen_features(names, n_polygons=max(40, 8 * n), n_lines=max(40, 8 * n))
     pq.write_table(

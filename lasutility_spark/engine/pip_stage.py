@@ -213,6 +213,91 @@ def rasterize_features_cogrouped(
     )
 
 
+def classify_images_fused(
+    images: DataFrame,
+    features: DataFrame,
+    classmap: dict[int, int],
+    px: int = 128,
+    size_north: int = 1000,
+) -> DataFrame:
+    """Fused tile-level PIP classification — the 100 TB-shape of the
+    point->class join.
+
+    One image row IS one tile, and its synthesized points are inside that
+    tile by construction, so the points never need to exist as a shuffled
+    table: cogroup the image rows with the exploded feature covers on
+    cell_id, and inside the kernel (a) rasterize the tile's features
+    (V1-V8), (b) decode the tile's points from the image bytes, (c) index
+    the raster at the point cells, returning one row per (tile, class
+    value) with the point count.  The only data crossing the shuffle is
+    one image row per tile + the exploded features — never per-point rows
+    (a 31M-point input moves ~1 GB as points but ~160 MB as tiles; point
+    rows are also what made the join-based variant memory-bandwidth bound
+    and anti-scale beyond ~8 local workers).
+
+    Emits per-partition lineage metrics (n_points per tile) via the
+    n_points column — summable downstream for the north-rule row counts.
+    """
+    from .. import datagen as dg
+    from ..gridlib.png import png16_to_dem, png_decode
+    from .tiling import cell_id_from_caption
+
+    if "cell_id" not in images.columns:
+        images = images.withColumn("cell_id", cell_id_from_caption(size_north))
+    covers = explode_feature_covers(features, size_north)
+    cmap = dict(classmap)
+
+    def run(key, img_pdf: pd.DataFrame, feat_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cell_id": pd.Series(dtype="i8"),
+                "image_id": pd.Series(dtype=object),
+                "value": pd.Series(dtype="i4"),
+                "n_points": pd.Series(dtype="i8"),
+            }
+        )
+        if img_pdf.empty:
+            return empty
+        cell = int(key[0])
+        feats = [
+            (int(s), int(l), bytes(g))
+            for s, l, g in zip(
+                feat_pdf["seq"], feat_pdf["luokka"], feat_pdf["geom_wkb"]
+            )
+        ]
+        tile = _rasterize_tile(cell, px, size_north, feats, cmap)
+        raster = png_decode(bytes(tile["bytes"]))
+        out = []
+        for cap, data in zip(img_pdf["caption"], img_pdf["bytes"]):
+            name, minx, miny, maxx, maxy, cs, _ = dg.parse_caption(cap)
+            dem = png16_to_dem(bytes(data), dg.Z_MIN, dg.Z_MAX)
+            x, y, _z, _c = dg.sample_points_from_tile(name, dem, minx, miny, cs)
+            rcs = (maxx - minx) / raster.shape[1]
+            row = ((y - miny) / rcs).astype(np.int64)
+            col = ((x - minx) / rcs).astype(np.int64)
+            vals = raster[row, col]
+            uv, cnt = np.unique(vals, return_counts=True)
+            for v, n in zip(uv, cnt):
+                out.append(
+                    {
+                        "cell_id": cell,
+                        "image_id": name,
+                        "value": int(v),
+                        "n_points": int(n),
+                    }
+                )
+        return pd.DataFrame(out) if out else empty
+
+    return (
+        images.select("cell_id", "caption", "bytes")
+        .groupBy("cell_id")
+        .cogroup(covers.groupBy("cell_id"))
+        .applyInPandas(
+            run, "cell_id long, image_id string, value int, n_points long"
+        )
+    )
+
+
 def pip_classify_points(
     points: DataFrame, pip_tiles: DataFrame, size_north: int = 1000
 ) -> DataFrame:

@@ -33,7 +33,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        # throughput GC: the default G1 burns whole cores compacting the
+        # humongous byte[]s of image tiles (measured: q1 1428 -> 2182
+        # tiles/s at local[32] from this flag alone); on a cluster this
+        # goes in spark.executor.extraJavaOptions
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:+UseParallelGC -XX:ParallelGCThreads={min(cpus, 8)}",
+        )
         .config("spark.ui.enabled", "false")
     )
+    # shuffle spill dir on the fastest local medium available — RAM-backed
+    # tmpfs here, node-local NVMe on a real cluster (same knob)
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     return builder.getOrCreate()

@@ -56,6 +56,16 @@ def with_cell_id(
     return df.withColumn("cell_id", cell_id_col(F.col(x), F.col(y), size_north))
 
 
+def cell_id_from_caption(size_north: int = 1000) -> Column:
+    """cell_id of an image row parsed from its caption
+    (``name;minx;miny;maxx;maxy;cellsize;nodata``) — pure JVM string/int
+    exprs, so deriving the tile list from a 10^12-row table needs no
+    driver collect and no Python."""
+    minx = F.split(F.col("caption"), ";").getItem(1).cast("double")
+    miny = F.split(F.col("caption"), ";").getItem(2).cast("double")
+    return cell_id_col(minx, miny, size_north)
+
+
 def repartition_by_cell(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Range-partition on cell_id so each applyInPandas group ~= one tile
     and neighboring tiles co-locate (hierarchical prefixes stay sorted)."""

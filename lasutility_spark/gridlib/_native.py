@@ -28,6 +28,9 @@ import numpy as np
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_delaunay.c")
 _loaded = False
 _fn = None
+_raster_fn = None
+_fill_fn = None
+_line_fn = None
 
 
 def _build_and_load():
@@ -44,8 +47,11 @@ def _build_and_load():
         fd, tmp = tempfile.mkstemp(suffix=".so", dir=cache_dir)
         os.close(fd)
         try:
+            # -ffp-contract=off: no FMA contraction, so C results match the
+            # numpy fallback's double arithmetic operation-for-operation
             subprocess.run(
-                [cc, "-O2", "-shared", "-fPIC", "-o", tmp, _SRC, "-lm"],
+                [cc, "-O2", "-ffp-contract=off", "-shared", "-fPIC",
+                 "-o", tmp, _SRC, "-lm"],
                 check=True,
                 capture_output=True,
                 timeout=120,
@@ -66,20 +72,54 @@ def _build_and_load():
         np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS"),
     ]
-    return fn
+    rfn = lib.lsu_rasterize_dem
+    rfn.restype = None
+    f64 = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+    rfn.argtypes = [
+        ctypes.c_int64,                                             # n_tri
+        np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS"),
+        f64, f64, f64,                                              # x y z
+        ctypes.c_void_p,                                            # cls
+        ctypes.c_int64, ctypes.c_int64,                             # rows cols
+        ctypes.c_double, ctypes.c_double,                           # minx miny
+        ctypes.c_double, ctypes.c_double,                           # maxx maxy
+        ctypes.c_double,                                            # eps
+        np.ctypeslib.ndpointer(dtype=np.float32, flags=("C_CONTIGUOUS", "WRITEABLE")),
+        ctypes.c_void_p,                                            # locked
+        ctypes.c_void_p,                                            # classification
+    ]
+    u8 = np.ctypeslib.ndpointer(dtype=np.uint8, flags=("C_CONTIGUOUS", "WRITEABLE"))
+    i64 = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+    pfn = lib.lsu_fill_polygon_cells
+    pfn.restype = None
+    pfn.argtypes = [
+        u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int64, f64, f64, ctypes.c_int64,
+    ]
+    lfn = lib.lsu_rasterize_polyline
+    lfn.restype = None
+    lfn.argtypes = [
+        u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, i64, i64,
+        ctypes.c_int64,
+    ]
+    return fn, rfn, pfn, lfn
+
+
+def _ensure_loaded():
+    global _loaded, _fn, _raster_fn, _fill_fn, _line_fn
+    if not _loaded:
+        try:
+            _fn, _raster_fn, _fill_fn, _line_fn = _build_and_load()
+        except Exception:
+            _fn = _raster_fn = _fill_fn = _line_fn = None
+        _loaded = True
 
 
 def triangulate(x: np.ndarray, y: np.ndarray) -> np.ndarray | None:
     """C sweep-hull triangulation; None => caller must use the fallback."""
-    global _loaded, _fn
     if os.environ.get("LSU_NO_NATIVE") == "1":
         return None
-    if not _loaded:
-        try:
-            _fn = _build_and_load()
-        except Exception:
-            _fn = None
-        _loaded = True
+    _ensure_loaded()
     if _fn is None:
         return None
     n = len(x)
@@ -94,3 +134,93 @@ def triangulate(x: np.ndarray, y: np.ndarray) -> np.ndarray | None:
     if rc < 0:
         return None
     return out[:rc].copy()
+
+
+def rasterize_dem(
+    tri: np.ndarray,
+    x: np.ndarray,
+    y: np.ndarray,
+    z: np.ndarray,
+    cls: np.ndarray | None,
+    dem: np.ndarray,
+    minx: float,
+    miny: float,
+    maxx: float,
+    maxy: float,
+    eps: float,
+    locked: np.ndarray | None,
+    classification: np.ndarray | None,
+) -> bool:
+    """C triangle-push rasterization into ``dem`` in place.
+
+    Returns False when the native kernel is unavailable (caller falls
+    back to the numpy path).  ``dem`` must be C-contiguous float32."""
+    if os.environ.get("LSU_NO_NATIVE") == "1":
+        return False
+    _ensure_loaded()
+    if _raster_fn is None:
+        return False
+    rows, cols = dem.shape
+    tri = np.ascontiguousarray(tri, dtype=np.int64)
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    z = np.ascontiguousarray(z, dtype=np.float64)
+    cls_p = None
+    if classification is not None:
+        cls_arr = np.ascontiguousarray(
+            cls if cls is not None else np.zeros(len(x), dtype=np.uint8),
+            dtype=np.uint8,
+        )
+        cls_p = cls_arr.ctypes.data
+        cf = np.ascontiguousarray(classification, dtype=np.uint8)
+        if cf is not classification:
+            raise ValueError("classification plane must be C-contiguous uint8")
+    lk = None
+    if locked is not None:
+        lk_arr = np.ascontiguousarray(locked, dtype=np.uint8)
+        lk = lk_arr.ctypes.data
+    _raster_fn(
+        len(tri), tri, x, y, z, cls_p, rows, cols,
+        float(minx), float(miny), float(maxx), float(maxy), float(eps),
+        dem, lk,
+        classification.ctypes.data if classification is not None else None,
+    )
+    return True
+
+
+def fill_polygon_cells(
+    dest: np.ndarray,
+    value: int,
+    row_bot: int,
+    row_top: int,
+    poly_x: np.ndarray,
+    poly_y: np.ndarray,
+) -> bool:
+    """C even-odd scanline fill; False => caller uses the numpy path."""
+    if os.environ.get("LSU_NO_NATIVE") == "1":
+        return False
+    _ensure_loaded()
+    if _fill_fn is None or dest.dtype != np.uint8 or not dest.flags["C_CONTIGUOUS"]:
+        return False
+    px = np.ascontiguousarray(poly_x, dtype=np.float64)
+    py = np.ascontiguousarray(poly_y, dtype=np.float64)
+    rows, cols = dest.shape
+    _fill_fn(dest, rows, cols, int(value), int(row_bot), int(row_top),
+             px, py, len(px))
+    return True
+
+
+def rasterize_polyline(
+    dest: np.ndarray, value: int, vrows: np.ndarray, vcols: np.ndarray
+) -> bool:
+    """C Bresenham polyline stamp; False => caller uses the numpy path."""
+    if os.environ.get("LSU_NO_NATIVE") == "1":
+        return False
+    _ensure_loaded()
+    if _line_fn is None or dest.dtype != np.uint8 or not dest.flags["C_CONTIGUOUS"]:
+        return False
+    vr = np.ascontiguousarray(vrows, dtype=np.int64)
+    vc = np.ascontiguousarray(vcols, dtype=np.int64)
+    rows, cols = dest.shape
+    _line_fn(dest, rows, cols, int(value), vr, vc, len(vr))
+    return True

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import _native
 from .bounds import RasterBounds
 
 
@@ -58,7 +59,11 @@ def fill_polygon_cells(
     poly_y: np.ndarray,
 ) -> None:
     """V5 core: MathUtils.FillPolygonInt (MathUtils.cs:114-170), vectorized
-    per scanline row over the polygon edges with numpy."""
+    per scanline row over the polygon edges with numpy.  C fast path when
+    available (node-x multiset is identical: trunc is monotone, so
+    sort-then-trunc == trunc-then-sort)."""
+    if _native.fill_polygon_cells(dest, value, row_bot, row_top, poly_x, poly_y):
+        return
     n = len(poly_x)
     px_i = poly_x
     py_i = poly_y
@@ -128,6 +133,8 @@ def rasterize_linestring(
     """V7 wrapper: RasteriserEvenOdd.RasteriseLine (RasteriserEvenOdd.cs:84-101)
     — per segment, Bresenham over the cell indices of the endpoints."""
     rows, cols = bounds.proj_to_cell(np.asarray(xs, float), np.asarray(ys, float))
+    if _native.rasterize_polyline(dest, value, rows, cols):
+        return
     for i in range(1, len(rows)):
         seg = bresenham_line(int(cols[i - 1]), int(rows[i - 1]), int(cols[i]), int(rows[i]))
         dest[seg[:, 1], seg[:, 0]] = value

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import _native
 from .bounds import EPSILON, RasterBounds
 from .delaunay import delaunay
 
@@ -75,6 +76,29 @@ class Tin:
         tris = self.triangles
         if len(tris) == 0:
             return dem
+
+        # C fast path: tight per-triangle scanline, compute-bound (the
+        # numpy expansion below is memory-bandwidth bound, which caps
+        # multi-worker scaling); falls through on any unavailability
+        if (
+            dem.dtype == np.float32
+            and dem.flags["C_CONTIGUOUS"]
+            and (locked is None or locked.flags["C_CONTIGUOUS"])
+            and (
+                classification is None
+                or (
+                    classification.dtype == np.uint8
+                    and classification.flags["C_CONTIGUOUS"]
+                )
+            )
+            and _native.rasterize_dem(
+                tris, self.x, self.y, self.z, self.cls, dem,
+                bounds.minx, bounds.miny, bounds.maxx, bounds.maxy,
+                EPSILON, locked, classification,
+            )
+        ):
+            return dem
+
         x, y, z = self.x, self.y, self.z
         cw, ch = bounds.cell_width, bounds.cell_height
 

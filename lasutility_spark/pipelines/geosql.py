@@ -97,6 +97,26 @@ def bins_ranked_sql(dialect: str, topk: int = 3) -> str:
     )
 
 
+def highest_in_class_sql(dialect: str, lo: int = 3, hi: int = 5) -> str:
+    """A5: highest point in class range per cell — top-1 of the A4 desc
+    sort restricted to ``lo <= cls <= hi`` (VoxelGrid.cs:305-317,
+    GetHighestPointInClassRange; requires-sorted contract via the
+    deterministic ORDER BY tie-break)."""
+    return _with_points(
+        f"""
+    SELECT cell_id, cell_row, cell_col, z, cls
+    FROM (
+      SELECT {_CELL} AS cell_id, {_ROW} AS cell_row, {_COL} AS cell_col, z, cls,
+             ROW_NUMBER() OVER (
+               PARTITION BY {_CELL}, {_ROW}, {_COL}
+               ORDER BY z DESC, cls, x, y
+             ) AS rnk
+      FROM points WHERE cls BETWEEN {lo} AND {hi}
+    ) t WHERE rnk = 1
+    """
+    )
+
+
 def heights_range_sql(dialect: str, lo: int = 3, hi: int = 5) -> str:
     """A6: class-range heights per cell."""
     return _with_points(

@@ -189,3 +189,38 @@ def test_pip_classify_points(spark, images_dir):
     assert 0 in byval  # background
     assert any(v >= 100 for v in byval if v > 0)  # some building/terrain hits
     assert -1 not in byval  # every point found its tile
+
+
+def test_classify_images_fused_matches_point_rows(spark, images_dir):
+    """The fused tile-level PIP (production shape: points never cross the
+    shuffle) must agree, per (cell, class value), with the general
+    point-rows path."""
+    from pyspark.sql import functions as F
+
+    images = pts.read_images(spark, images_dir)
+    feats = spark.read.parquet(f"{images_dir}/polygons.parquet").union(
+        spark.read.parquet(f"{images_dir}/lines.parquet")
+    )
+    cm = {**topodb.ALL_POLYGON, **topodb.ALL_LINE}
+
+    fused = pip_stage.classify_images_fused(images, feats, cm, px=64)
+    a = {
+        (r["cell_id"], r["value"]): r["n"]
+        for r in fused.groupBy("cell_id", "value")
+        .agg(F.sum("n_points").alias("n"))
+        .collect()
+    }
+
+    tile_df = images.select(tiling.cell_id_from_caption(1000).alias("cell_id"))
+    pip_tiles = pip_stage.rasterize_features_cogrouped(tile_df, feats, cm, px=64)
+    p = tiling.with_cell_id(pts.decode_points(images))
+    rows = pip_stage.pip_classify_points(p, pip_tiles)
+    b = {
+        (r["cell_id"], r["value"]): r["n"]
+        for r in tiling.with_cell_id(rows)
+        .groupBy("cell_id", "value")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert a == b
+    assert sum(a.values()) > 0
