@@ -224,7 +224,7 @@ def gen_features(area_tiles: list[str], n_polygons: int, n_lines: int):
 
 # table writer --------------------------------------------------------------
 
-SF_TILES = {0.001: 9, 0.01: 36, 0.1: 256}
+SF_TILES = {0.001: 9, 0.01: 36, 0.1: 4096}
 
 
 def ensure_images_table(
@@ -237,7 +237,7 @@ def ensure_images_table(
     import pyarrow.parquet as pq
 
     n = n_tiles if n_tiles else SF_TILES.get(sf, max(9, int(2560 * sf)))
-    out = os.path.join(base_dir, f"images_n{n}" if n_tiles else f"images_sf{sf}")
+    out = os.path.join(base_dir, f"images_n{n}")  # content-addressed by count
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out

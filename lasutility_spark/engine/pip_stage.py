@@ -245,6 +245,12 @@ def classify_images_fused(
     if "cell_id" not in images.columns:
         images = images.withColumn("cell_id", cell_id_from_caption(size_north))
     covers = explode_feature_covers(features, size_north)
+    # partition pruning: only covers for tiles this job actually owns ever
+    # enter the cogroup — when the input is a slice of the tile universe
+    # (an executor shard, an incremental/resume run), the feature side and
+    # the group count shrink with it instead of fanning out to every
+    # covered cell.  AQE picks broadcast for small tile sets, SMJ at scale.
+    covers = covers.join(images.select("cell_id").distinct(), "cell_id", "semi")
     cmap = dict(classmap)
 
     def run(key, img_pdf: pd.DataFrame, feat_pdf: pd.DataFrame) -> pd.DataFrame:

