@@ -241,8 +241,35 @@ _KERNEL_WITH_ORACLE = {
     "dd_ngram_jaccard": (_ngram_jaccard_spark, dedup.ngram_jaccard_pairs_sql, ["documents"]),
 }
 
+def _tin_rasterize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 via the skew-salted path (north rule: dense tiles re-keyed with
+    a sub-grammar quad split + halo; sparse tiles take the normal path)."""
+    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
+    pts = epoints.decode_points(epoints.read_images(spark, images_dir))
+    tiles = tin_stage.rasterize_tin_tiles_skew(
+        pts, px=64, dense_threshold=1000, halo=150.0
+    )
+    return tiles.select(
+        "cell_id", "image_id", "w", "h", "n_points", "n_triangles",
+        "filled_cells", "missing_cells",
+    )
+
+
+def _feature_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: envelope -> covered-cells explode (the spatial-join duplication
+    step), counted per feature."""
+    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
+    feats = spark.read.parquet(f"{images_dir}/polygons.parquet")
+    covers = pip_stage.explode_feature_covers(feats)
+    return covers.groupBy("seq", "luokka").agg(
+        F.count("*").alias("n_cover_cells")
+    )
+
+
 _ROWS_ONLY = {
     "t9_tin_rasterize": _tin_rasterize,
+    "t9_tin_rasterize_skew": _tin_rasterize_skew,
+    "x5_feature_covers": _feature_covers,
     "b_voxel_tin_backfill": _tin_rasterize_voxel,
     "v5_pip_rasterize": _pip_rasterize,
     "v5_pip_classify": _pip_classify,

@@ -187,6 +187,172 @@ def rasterize_images_fused(images: DataFrame, px: int = 128,
     return images.select("caption", "bytes").mapInPandas(run, TILE_SCHEMA)
 
 
+SUB_SCHEMA = (
+    "cell_id long, qr int, qc int, dem binary, n_points int, n_triangles int"
+)
+
+
+def rasterize_tin_tiles_skew(
+    points: DataFrame,
+    px: int = 128,
+    size_north: int = 1000,
+    dense_threshold: int = 20000,
+    split: int = 2,
+    halo: float = 40.0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Skew-aware TIN rasterization (north rule: salting on dense tiles).
+
+    The NLS grammar bottoms out at 1 km, so dense tiles are re-keyed
+    BELOW the grammar: a ``split x split`` quad split of the tile, with
+    points within ``halo`` meters of a sub-tile edge duplicated into the
+    neighboring sub-tiles (the X5 cover-duplication trick applied to
+    salting).  Each sub-kernel triangulates its points + halo and
+    rasterizes only its own px/split window, so a dense tile's
+    O(n log n) Delaunay cost splits across ``split^2`` tasks instead of
+    straggling one; a per-tile merge kernel reassembles the full tile.
+    Sparse tiles take the normal one-group path untouched.
+
+    Heights can differ from the unsalted kernel only for cells whose
+    containing triangle spans farther than ``halo`` into the sub-tile —
+    pinned by a PSNR gate in tests (SURVEY §7 Delaunay-ambiguity rule).
+    """
+    if "cell_id" not in points.columns:
+        points = with_cell_id(points, size_north)
+    counts = points.groupBy("cell_id").agg(F.count("*").alias("_n"))
+    dense_ids = counts.filter(F.col("_n") > dense_threshold).select("cell_id")
+    points = points.join(
+        F.broadcast(dense_ids.withColumn("_dense", F.lit(True))),
+        "cell_id",
+        "left",
+    )
+    sparse = points.filter(F.col("_dense").isNull()).drop("_dense")
+    dense = points.filter(F.col("_dense").isNotNull()).drop("_dense")
+
+    normal = rasterize_tin_tiles(
+        sparse, px=px, size_north=size_north, num_partitions=num_partitions
+    )
+
+    # --- salted path for dense tiles ------------------------------------
+    from ..gridlib import tilenamer as tn
+
+    se, sn = (float(v) for v in tn._snap_sizes(size_north))
+    sub_e, sub_n = se / split, sn / split
+
+    tile_minx = F.col("cell_id").bitwiseAND(F.lit(0xFFFFFFFF)) * F.lit(se) + F.lit(
+        float(tn.ORIGIN_EAST)
+    )
+    tile_miny = F.shiftright(F.col("cell_id"), 32) * F.lit(sn) + F.lit(
+        float(tn.ORIGIN_NORTH)
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    d = dense.withColumn("_off", F.explode(offs))
+    qc = F.floor(
+        (F.col("x") + F.col("_off.dx") * F.lit(halo) - tile_minx) / F.lit(sub_e)
+    ).cast("int")
+    qr = F.floor(
+        (F.col("y") + F.col("_off.dy") * F.lit(halo) - tile_miny) / F.lit(sub_n)
+    ).cast("int")
+    d = (
+        d.withColumn("qc", qc)
+        .withColumn("qr", qr)
+        .filter(
+            (F.col("qc") >= 0) & (F.col("qc") < split)
+            & (F.col("qr") >= 0) & (F.col("qr") < split)
+        )
+        .dropDuplicates(["cell_id", "qr", "qc", "x", "y"])
+        .drop("_off")
+    )
+
+    sub_px = px // split
+
+    def sub_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell, kqr, kqc = int(key[0]), int(key[1]), int(key[2])
+        minx, miny, _maxx, _maxy = (
+            float(v)
+            for v in np.array(cell_id_envelope(np.array([cell]), size_north)).ravel()
+        )
+        sminx = minx + kqc * sub_e
+        sminy = miny + kqr * sub_n
+        bounds = RasterBounds(sub_px, sub_px, sminx, sminy, sminx + sub_e, sminy + sub_n)
+        x = pdf["x"].to_numpy()
+        y = pdf["y"].to_numpy()
+        z = pdf["z"].to_numpy()
+        cls = pdf["cls"].to_numpy().astype(np.uint8)
+        dem = np.full((sub_px, sub_px), np.nan, dtype=np.float32)
+        n_tri = 0
+        if len(x) >= 3:
+            tin = Tin(x, y, z, cls)
+            n_tri = tin.triangle_count
+            tin.rasterize_dem(bounds, dem=dem)
+        # interior point count (exclude halo dups) for lineage metrics
+        interior = (
+            (x >= sminx) & (x < sminx + sub_e) & (y >= sminy) & (y < sminy + sub_n)
+        ).sum()
+        return pd.DataFrame(
+            [
+                {
+                    "cell_id": cell,
+                    "qr": kqr,
+                    "qc": kqc,
+                    "dem": dem.tobytes(),
+                    "n_points": int(interior),
+                    "n_triangles": n_tri,
+                }
+            ]
+        )
+
+    subs = d.repartition(num_partitions or 64, "cell_id", "qr", "qc").groupBy(
+        "cell_id", "qr", "qc"
+    ).applyInPandas(sub_kernel, SUB_SCHEMA)
+
+    def merge_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(key[0])
+        minx, miny, maxx, maxy = (
+            int(v)
+            for v in np.array(cell_id_envelope(np.array([cell]), size_north)).ravel()
+        )
+        dem = np.full((px, px), np.nan, dtype=np.float32)
+        n_pts = n_tri = 0
+        for _, r in pdf.iterrows():
+            sub = np.frombuffer(r["dem"], dtype=np.float32).reshape(sub_px, sub_px)
+            r0, c0 = int(r["qr"]) * sub_px, int(r["qc"]) * sub_px
+            dem[r0 : r0 + sub_px, c0 : c0 + sub_px] = sub
+            n_pts += int(r["n_points"])
+            n_tri += int(r["n_triangles"])
+        name = str(cell_id_to_name(np.array([cell]), size_north)[0])
+        caption = datagen.CAPTION_FMT.format(
+            name=name, minx=minx, miny=miny, maxx=maxx, maxy=maxy,
+            cellsize=(maxx - minx) / px, nodata=-9999,
+        )
+        filled = int((~np.isnan(dem)).sum())
+        return pd.DataFrame(
+            [
+                {
+                    "cell_id": cell,
+                    "image_id": name,
+                    "bytes": dem_to_png16(dem, datagen.Z_MIN, datagen.Z_MAX),
+                    "w": px, "h": px, "fmt": "png16",
+                    "caption": caption,
+                    "phash": phash64(np.nan_to_num(dem)),
+                    "n_points": n_pts,
+                    "n_triangles": n_tri,
+                    "filled_cells": filled,
+                    "missing_cells": px * px - filled,
+                }
+            ]
+        )
+
+    salted = subs.groupBy("cell_id").applyInPandas(merge_kernel, TILE_SCHEMA)
+    return normal.unionByName(salted)
+
+
 def tile_metrics(tiles: DataFrame) -> DataFrame:
     """Stage-level lineage metrics (north rule: per-partition row counts)."""
     return tiles.select(

@@ -224,3 +224,49 @@ def test_classify_images_fused_matches_point_rows(spark, images_dir):
     }
     assert a == b
     assert sum(a.values()) > 0
+
+
+def test_skew_salted_tin_matches_unsalted(spark, images_dir):
+    """North rule: dense tiles re-keyed below the grammar (quad split +
+    halo).  Mechanism gate: on non-co-circular (jittered) dense points,
+    the salted raster must be PSNR>=40dB vs the unsalted kernel — only
+    triangles whose circumcircle reaches past the halo may differ.
+    (Grid-center points are maximally co-circular, so the sub-TIN's
+    different insertion order legally flips tie diagonals everywhere —
+    SURVEY §7: never compare triangle lists.)"""
+    rng = np.random.RandomState(99)
+    minx, miny = 380000, 6666000  # a 1 km tile
+    n = 30000
+    xs = rng.uniform(minx, minx + 1000, n)
+    ys = rng.uniform(miny, miny + 1000, n)
+    zs = np.sin(xs / 37.0) * 8 + np.cos(ys / 53.0) * 6 + 100.0
+    pdf = pd.DataFrame(
+        {"x": xs, "y": ys, "z": zs, "cls": np.full(n, 2, dtype=np.int8)}
+    )
+    p = spark.createDataFrame(pdf)
+
+    base = tin_stage.rasterize_tin_tiles(p, px=64, num_partitions=4).collect()
+    salted = tin_stage.rasterize_tin_tiles_skew(
+        p, px=64, dense_threshold=20000, split=2, halo=40.0, num_partitions=4
+    ).collect()
+    assert len(base) == 1 and len(salted) == 1
+    a = png16_to_dem(bytes(base[0]["bytes"]), datagen.Z_MIN, datagen.Z_MAX)
+    c = png16_to_dem(bytes(salted[0]["bytes"]), datagen.Z_MIN, datagen.Z_MAX)
+    fa = np.nan_to_num(a, nan=-1.0)
+    fc = np.nan_to_num(c, nan=-1.0)
+    mse = float(((fa - fc) ** 2).mean())
+    psnr = 99.0 if mse == 0 else 10 * np.log10(
+        (datagen.Z_MAX - datagen.Z_MIN) ** 2 / mse
+    )
+    assert psnr >= 40.0, f"salted PSNR {psnr:.1f} dB"
+    # lineage metrics survive the split+merge: interior points sum back
+    assert salted[0]["n_points"] == n
+    # sparse tiles bypass salting entirely: byte-identical to normal path
+    images = pts.read_images(spark, images_dir)
+    pp = pts.decode_points(images)
+    b2 = {r["image_id"]: bytes(r["bytes"]) for r in
+          tin_stage.rasterize_tin_tiles(pp, px=64, num_partitions=4).collect()}
+    s2 = {r["image_id"]: bytes(r["bytes"]) for r in
+          tin_stage.rasterize_tin_tiles_skew(
+              pp, px=64, dense_threshold=20000, num_partitions=4).collect()}
+    assert b2 == s2
