@@ -255,6 +255,21 @@ def _tin_rasterize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tin_triangle_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: TIN -> triangle feature table (Triangulation.ExportToShp,
+    DEM/Triangulation.cs:132-157) — per-tile triangle rows with vertex
+    coordinates, the Parquet-native equivalent of the .shp sink."""
+    from lasutility_spark.engine import sinks
+
+    pts = epoints.synth_points(spark, sf_dir)
+    tri = sinks.tin_to_triangle_features(pts.limit(4000))
+    return tri.groupBy("image_id").agg(
+        F.count("*").alias("n_triangles"),
+        F.min("tri_id").alias("min_tri_id"),
+        F.max("tri_id").alias("max_tri_id"),
+    )
+
+
 def _feature_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: envelope -> covered-cells explode (the spatial-join duplication
     step), counted per feature."""
@@ -270,6 +285,7 @@ _ROWS_ONLY = {
     "t9_tin_rasterize": _tin_rasterize,
     "t9_tin_rasterize_skew": _tin_rasterize_skew,
     "x5_feature_covers": _feature_covers,
+    "s10_triangle_features": _tin_triangle_features,
     "b_voxel_tin_backfill": _tin_rasterize_voxel,
     "v5_pip_rasterize": _pip_rasterize,
     "v5_pip_classify": _pip_classify,
