@@ -108,10 +108,16 @@ def lsh_candidate_pairs_sql(dialect: str) -> str:
     """
 
 
-def near_dup_pairs_sql(dialect: str, cos_x1000: int = 950) -> str:
+def near_dup_pairs_sql(dialect: str, cos_x1000: int = 400) -> str:
     """Embedding near-duplicates: same-bucket pairs whose quantized cosine
     (x1e6, floor) clears a threshold — cosine via exact integer
-    dot^2 * 1e12 / (n2a * n2b) compared against threshold^2."""
+    dot^2 * 1e12 / (n2a * n2b) compared against threshold^2.
+
+    Default threshold 0.40: the driver's synthetic embeddings are
+    near-orthogonal (max pairwise cosine ~0.51 at sf0.01), so a classic
+    0.95 dedup cut matches zero rows and the oracle comparison would be
+    vacuous; 0.40 exercises the full join+filter arithmetic on real
+    pairs.  Production near-dup dedup uses 0.9+."""
     pairs = lsh_candidate_pairs_sql(dialect)
     norms = norms_sql(dialect)
     thr2 = cos_x1000 * cos_x1000  # compare dot^2*1e6 vs thr2*n2a*n2b
