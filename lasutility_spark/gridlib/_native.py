@@ -33,9 +33,23 @@ _fill_fn = None
 _line_fn = None
 
 
+def _read_source() -> bytes:
+    """Read _delaunay.c zip-safely: plain open() when the package is a
+    directory, pkgutil when it was shipped inside a --py-files zip."""
+    try:
+        with open(_SRC, "rb") as f:
+            return f.read()
+    except OSError:
+        import pkgutil
+
+        data = pkgutil.get_data(__package__, "_delaunay.c")
+        if data is None:
+            raise FileNotFoundError("_delaunay.c not in package")
+        return data
+
+
 def _build_and_load():
-    with open(_SRC, "rb") as f:
-        src = f.read()
+    src = _read_source()
     tag = hashlib.sha256(src).hexdigest()[:16]
     cache_dir = os.path.join(tempfile.gettempdir(), "lasutility_native")
     so_path = os.path.join(cache_dir, f"_delaunay_{tag}.so")
@@ -46,12 +60,15 @@ def _build_and_load():
             return None
         fd, tmp = tempfile.mkstemp(suffix=".so", dir=cache_dir)
         os.close(fd)
+        c_src = os.path.join(cache_dir, f"_delaunay_{tag}.c")
+        with open(c_src, "wb") as f:
+            f.write(src)
         try:
             # -ffp-contract=off: no FMA contraction, so C results match the
             # numpy fallback's double arithmetic operation-for-operation
             subprocess.run(
                 [cc, "-O2", "-ffp-contract=off", "-shared", "-fPIC",
-                 "-o", tmp, _SRC, "-lm"],
+                 "-o", tmp, c_src, "-lm"],
                 check=True,
                 capture_output=True,
                 timeout=120,

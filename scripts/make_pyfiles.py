@@ -21,7 +21,10 @@ def main() -> str:
             if "__pycache__" in root:
                 continue
             for f in files:
-                if f.endswith(".py"):
+                # .c: the build-on-first-use native kernel source must
+                # ship with the package (compiled per node, numpy
+                # fallback when no compiler)
+                if f.endswith((".py", ".c")):
                     full = os.path.join(root, f)
                     zf.write(full, os.path.relpath(full, REPO))
     print(out)
