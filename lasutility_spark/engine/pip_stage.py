@@ -304,6 +304,81 @@ def classify_images_fused(
     )
 
 
+def classify_images_broadcast(
+    spark: SparkSession,
+    images: DataFrame,
+    features: DataFrame,
+    classmap: dict[int, int],
+    px: int = 128,
+    size_north: int = 1000,
+) -> DataFrame:
+    """Broadcast strategy of :func:`classify_images_fused` — the right
+    physical plan while the feature set fits a broadcast (fixture scale:
+    ~7k features ~660 KB; here ~131k ~20 MB).  Features (+precomputed
+    envelopes) ship once per executor; image rows stream through ONE
+    narrow mapInPandas — no shuffle at all, not even of tile rows.  Per
+    tile the kernel bbox-filters the broadcast set (vectorized),
+    rasterizes, decodes the tile's points and histograms their class
+    values.  Beyond broadcast limits, use classify_images_fused
+    (cogrouped equi-join on cell_id).  Outputs are identical."""
+    import numpy as np
+
+    from .. import datagen as dg
+    from ..gridlib import wkb as W
+    from ..gridlib.png import png16_to_dem, png_decode
+    from ..gridlib.tilenamer import cell_id as cid_fn
+
+    rows = features.select("seq", "luokka", "geom_wkb").collect()
+    feats = [(r["seq"], r["luokka"], bytes(r["geom_wkb"])) for r in rows]
+    envs = np.array(
+        [W.decode(g).envelope() for _s, _l, g in feats], dtype=np.float64
+    ).reshape(-1, 4)
+    b_feats = spark.sparkContext.broadcast((feats, envs))
+    b_map = spark.sparkContext.broadcast(dict(classmap))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_feats, fenvs = b_feats.value
+        cmap = b_map.value
+        for pdf in batches:
+            out = []
+            for cap, data in zip(pdf["caption"], pdf["bytes"]):
+                name, minx, miny, maxx, maxy, cs, _ = dg.parse_caption(cap)
+                sel = np.flatnonzero(
+                    (fenvs[:, 2] >= minx)
+                    & (fenvs[:, 0] < maxx)
+                    & (fenvs[:, 3] >= miny)
+                    & (fenvs[:, 1] < maxy)
+                )
+                cell = int(cid_fn(np.array([minx]), np.array([miny]), size_north)[0])
+                tile = _rasterize_tile(
+                    cell, px, size_north, [all_feats[i] for i in sel], cmap
+                )
+                raster = png_decode(bytes(tile["bytes"]))
+                dem = png16_to_dem(bytes(data), dg.Z_MIN, dg.Z_MAX)
+                x, y, _z, _c = dg.sample_points_from_tile(name, dem, minx, miny, cs)
+                rcs = (maxx - minx) / raster.shape[1]
+                row = ((y - miny) / rcs).astype(np.int64)
+                col = ((x - minx) / rcs).astype(np.int64)
+                uv, cnt = np.unique(raster[row, col], return_counts=True)
+                for v, n in zip(uv, cnt):
+                    out.append(
+                        {
+                            "cell_id": cell,
+                            "image_id": name,
+                            "value": int(v),
+                            "n_points": int(n),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["cell_id", "image_id", "value", "n_points"],
+            )
+
+    return images.select("caption", "bytes").mapInPandas(
+        run, "cell_id long, image_id string, value int, n_points long"
+    )
+
+
 def pip_classify_points(
     points: DataFrame, pip_tiles: DataFrame, size_north: int = 1000
 ) -> DataFrame:

@@ -270,3 +270,27 @@ def test_skew_salted_tin_matches_unsalted(spark, images_dir):
           tin_stage.rasterize_tin_tiles_skew(
               pp, px=64, dense_threshold=20000, num_partitions=4).collect()}
     assert b2 == s2
+
+
+def test_classify_broadcast_matches_cogrouped(spark, images_dir):
+    """Broadcast and cogrouped fused-PIP strategies (SURVEY §4
+    broadcast-vs-partitioned) must produce identical per-tile class
+    histograms."""
+    from pyspark.sql import functions as F
+
+    images = pts.read_images(spark, images_dir)
+    feats = spark.read.parquet(f"{images_dir}/polygons.parquet").union(
+        spark.read.parquet(f"{images_dir}/lines.parquet")
+    )
+    cm = {**topodb.ALL_POLYGON, **topodb.ALL_LINE}
+    a = {
+        (r["cell_id"], r["value"]): r["n_points"]
+        for r in pip_stage.classify_images_fused(images, feats, cm, px=64).collect()
+    }
+    b = {
+        (r["cell_id"], r["value"]): r["n_points"]
+        for r in pip_stage.classify_images_broadcast(
+            spark, images, feats, cm, px=64
+        ).collect()
+    }
+    assert a == b and len(a) > 0
