@@ -34,10 +34,12 @@ def _qdot(dialect: str, a: str, b: str) -> str:
             f"CAST(FLOOR(CAST(element_at({a}, i) AS DOUBLE) * 100.0) AS BIGINT) * "
             f"CAST(FLOOR(CAST(element_at({b}, i) AS DOUBLE) * 100.0) AS BIGINT))"
         )
+    # DuckDB's list_sum returns HUGEINT (int128); Spark's aggregate returns
+    # BIGINT.  The driver hashes typed values, so cast to BIGINT explicitly.
     return (
-        f"list_sum(list_transform(range(1, {DIM} + 1), i -> "
+        f"CAST(list_sum(list_transform(range(1, {DIM} + 1), i -> "
         f"CAST(FLOOR(CAST({a}[i] AS DOUBLE) * 100.0) AS BIGINT) * "
-        f"CAST(FLOOR(CAST({b}[i] AS DOUBLE) * 100.0) AS BIGINT)))"
+        f"CAST(FLOOR(CAST({b}[i] AS DOUBLE) * 100.0) AS BIGINT))) AS BIGINT)"
     )
 
 
@@ -53,8 +55,8 @@ def _plane_dot(dialect: str, a: str, j: int) -> str:
         )
     arr = "[" + ", ".join(str(v) for v in plane) + "]"
     return (
-        f"list_sum(list_transform(range(1, {DIM} + 1), i -> "
-        f"CAST(FLOOR(CAST({a}[i] AS DOUBLE) * 100.0) AS BIGINT) * {arr}[i]))"
+        f"CAST(list_sum(list_transform(range(1, {DIM} + 1), i -> "
+        f"CAST(FLOOR(CAST({a}[i] AS DOUBLE) * 100.0) AS BIGINT) * {arr}[i])) AS BIGINT)"
     )
 
 
