@@ -45,7 +45,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     # shuffle spill dir on the fastest local medium available — RAM-backed
-    # tmpfs here, node-local NVMe on a real cluster (same knob)
-    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+    # tmpfs here, node-local NVMe on a real cluster (same knob). Gated on
+    # capacity: containers commonly cap /dev/shm at 64 MB, where any real
+    # spill dies with ENOSPC, and spilling to tmpfs defeats
+    # spill-under-memory-pressure — require headroom or opt out entirely
+    # with LSU_NO_SHM_SPILL=1.
+    if (
+        os.environ.get("LSU_NO_SHM_SPILL") != "1"
+        and os.path.isdir("/dev/shm")
+        and os.access("/dev/shm", os.W_OK)
+    ):
+        try:
+            sv = os.statvfs("/dev/shm")
+            avail = sv.f_bavail * sv.f_frsize
+        except OSError:
+            avail = 0
+        if avail >= 8 * 1024**3:
+            builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     return builder.getOrCreate()

@@ -266,10 +266,19 @@ def rasterize_tin_tiles_skew(
             (F.col("qc") >= 0) & (F.col("qc") < split)
             & (F.col("qr") >= 0) & (F.col("qr") < split)
         )
-        .dropDuplicates(["cell_id", "qr", "qc", "x", "y"])
+        # dedup ONLY the halo-exploded copies: two offsets of the same
+        # source row land in the same (qr,qc). Including z and cls keeps
+        # distinct points that share (x,y) — matching the unsalted path —
+        # and makes the result deterministic regardless of partition order.
+        .dropDuplicates(["cell_id", "qr", "qc", "x", "y", "z", "cls"])
         .drop("_off")
     )
 
+    if px % split != 0:
+        raise ValueError(
+            f"px={px} must be divisible by split={split}: sub-rasters of "
+            f"{px // split} px would not tile the {px}x{px} DEM"
+        )
     sub_px = px // split
 
     def sub_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -48,13 +48,35 @@ def _read_source() -> bytes:
         return data
 
 
+def _owned_and_private(path: str) -> bool:
+    """True iff ``path`` is owned by the current uid and not group/world
+    writable — the load-time precondition for executing code from it."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    return st.st_uid == os.getuid() and not (st.st_mode & 0o022)
+
+
 def _build_and_load():
     src = _read_source()
     tag = hashlib.sha256(src).hexdigest()[:16]
-    cache_dir = os.path.join(tempfile.gettempdir(), "lasutility_native")
+    # Per-uid cache dir, mode 0700: the tag is derived from public source,
+    # so a shared-path cache would let another local user pre-plant a .so
+    # at the predictable path. Never CDLL anything we don't own outright.
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"lasutility_native_{os.getuid()}"
+    )
+    try:
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    except OSError:
+        return None
+    if not _owned_and_private(cache_dir):
+        # dir pre-existed with wrong owner/perms — build in a fresh
+        # private mkdtemp instead (uncached, still correct)
+        cache_dir = tempfile.mkdtemp(prefix="lasutility_native_")
     so_path = os.path.join(cache_dir, f"_delaunay_{tag}.so")
-    if not os.path.exists(so_path):
-        os.makedirs(cache_dir, exist_ok=True)
+    if not (os.path.exists(so_path) and _owned_and_private(so_path)):
         cc = shutil.which("cc") or shutil.which("gcc") or shutil.which("clang")
         if cc is None:
             return None
@@ -73,6 +95,7 @@ def _build_and_load():
                 capture_output=True,
                 timeout=120,
             )
+            os.chmod(tmp, 0o600)
             os.replace(tmp, so_path)  # atomic under concurrent builders
         except Exception:
             try:
@@ -80,6 +103,8 @@ def _build_and_load():
             except OSError:
                 pass
             return None
+    if not _owned_and_private(so_path):
+        return None
     lib = ctypes.CDLL(so_path)
     fn = lib.lsu_triangulate
     fn.restype = ctypes.c_int64
@@ -221,6 +246,11 @@ def fill_polygon_cells(
         return False
     px = np.ascontiguousarray(poly_x, dtype=np.float64)
     py = np.ascontiguousarray(poly_y, dtype=np.float64)
+    if len(px) > 1024:
+        # the C kernel caps node_x[1024] per scanline; crossings are
+        # bounded by the vertex count, so refuse the fast path rather
+        # than risk silently mispaired even-odd spans on huge rings
+        return False
     rows, cols = dest.shape
     _fill_fn(dest, rows, cols, int(value), int(row_bot), int(row_top),
              px, py, len(px))
