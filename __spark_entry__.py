@@ -152,35 +152,102 @@ def _pip_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pip_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point->class PIP lookup join (rows-only)."""
-    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
-    images = epoints.read_images(spark, images_dir)
-    from lasutility_spark.engine.tiling import cell_id_from_caption
+    """Point->class PIP lookup join through the REAL kernel path (WKB
+    decode -> clip -> even-odd scanline raster -> cogrouped cell lookup)
+    against the literal feature set geosql.PIPK_FEATURES — chosen so the
+    DuckDB oracle can replay the pinned cell-space fill arithmetic
+    (MathUtils.cs:114-170) in closed form, independently verifying the
+    C/numpy scanline kernel end to end."""
+    from lasutility_spark.gridlib.wkb import encode_polygon
 
-    feats = spark.read.parquet(f"{images_dir}/polygons.parquet")
-    tile_df = images.select(cell_id_from_caption(1000).alias("cell_id"))
+    pts = epoints.synth_points(spark, sf_dir)
+    tiles = pts.select(
+        cell_id_col(F.col("x"), F.col("y"), 1000).alias("cell_id")
+    ).distinct()
+    rows = []
+    for seq, luokka, _value, _tminx, _tminy, rings in geosql.PIPK_FEATURES:
+        closed = []
+        for ring in rings:
+            xs = np.array([v[0] for v in ring] + [ring[0][0]])
+            ys = np.array([v[1] for v in ring] + [ring[0][1]])
+            closed.append((xs, ys))
+        rows.append((seq, luokka, bytearray(encode_polygon(closed))))
+    feats = spark.createDataFrame(rows, "seq long, luokka long, geom_wkb binary")
     pip_tiles = pip_stage.rasterize_features_broadcast(
-        spark, tile_df, feats, topodb.ALL_POLYGON, px=64
+        spark, tiles, feats, geosql.PIPK_CLASSMAP, px=128
     )
-    pts = epoints.decode_points(images)
-    rows = pip_stage.pip_classify_points(pts, pip_tiles)
-    return rows.groupBy("value").agg(F.count("*").alias("n_points"))
+    out = pip_stage.pip_classify_points(pts, pip_tiles)
+    return out.groupBy("value").agg(F.count("*").alias("n_points"))
+
+
+# The multimodal + X5 oracle queries run over the FIXED sf0.01 fixture
+# (datagen.ensure_images_table(0.01)) regardless of sf_dir: their DuckDB
+# oracles are expected-result parquet side tables written at generation
+# time, and the oracle SQL embeds that one fixture path.  Scale behavior
+# of the same kernels is exercised by bench.py at sf0.1.
+
+_FIXTURE_SF = 0.01
 
 
 def _image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
+    """m1: PNG decode -> pixel stats; oracle = direct quantization of the
+    source DEM (verifies the full encode->decode round trip)."""
+    images_dir = datagen.ensure_images_table(_FIXTURE_SF)
     return multimodal.image_decode_stats(epoints.read_images(spark, images_dir))
 
 
 def _image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
-    out = multimodal.image_resize(epoints.read_images(spark, images_dir), 2)
-    return out.select("image_id", "w", "h", "fmt")
+    """m2: decode -> block-mean resize -> re-encode -> decode -> stats;
+    oracle = block-mean of the directly-quantized plane."""
+    images_dir = datagen.ensure_images_table(_FIXTURE_SF)
+    resized = multimodal.image_resize(epoints.read_images(spark, images_dir), 2)
+    return multimodal.image_decode_stats(resized)
 
 
 def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
+    images_dir = datagen.ensure_images_table(_FIXTURE_SF)
     return multimodal.frame_sample_stub(epoints.read_images(spark, images_dir))
+
+
+def _oracle_image_stats(dialect: str) -> str:
+    d = datagen.ensure_images_table(_FIXTURE_SF)
+    return (
+        "SELECT image_id, w, h, px_min, px_max, px_mean, px_nonzero, phash "
+        f"FROM read_parquet('{d}/image_stats.parquet')"
+    )
+
+
+def _oracle_resize_stats(dialect: str) -> str:
+    d = datagen.ensure_images_table(_FIXTURE_SF)
+    return (
+        "SELECT image_id, w, h, px_min, px_max, px_mean, px_nonzero, phash "
+        f"FROM read_parquet('{d}/resize_stats.parquet')"
+    )
+
+
+def _oracle_frames(dialect: str) -> str:
+    d = datagen.ensure_images_table(_FIXTURE_SF)
+    return (
+        "SELECT media_id, frame_idx, byte_offset, frame_hash "
+        f"FROM read_parquet('{d}/frames.parquet')"
+    )
+
+
+def _oracle_feature_covers(dialect: str) -> str:
+    """X5 oracle: covered-cell counts in closed form from the envelope
+    side table (raw-vertex bboxes recorded at datagen time — independent
+    of the engine's WKB-decode envelope path)."""
+    d = datagen.ensure_images_table(_FIXTURE_SF)
+    return f"""
+    SELECT seq, luokka,
+           (CAST(FLOOR((maxy - 6570000.0) / 1000.0) AS BIGINT)
+            - CAST(FLOOR((miny - 6570000.0) / 1000.0) AS BIGINT) + 1)
+         * (CAST(FLOOR((maxx - (-76000.0)) / 1000.0) AS BIGINT)
+            - CAST(FLOOR((minx - (-76000.0)) / 1000.0) AS BIGINT) + 1)
+           AS n_cover_cells
+    FROM read_parquet('{d}/feature_envelopes.parquet')
+    WHERE kind = 'polygon'
+    """
 
 
 # --- the registry ----------------------------------------------------------
@@ -272,8 +339,8 @@ def _tin_triangle_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _feature_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: envelope -> covered-cells explode (the spatial-join duplication
-    step), counted per feature."""
-    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
+    step), counted per feature; envelopes via the real WKB-decode UDF."""
+    images_dir = datagen.ensure_images_table(_FIXTURE_SF)
     feats = spark.read.parquet(f"{images_dir}/polygons.parquet")
     covers = pip_stage.explode_feature_covers(feats)
     return covers.groupBy("seq", "luokka").agg(
@@ -281,17 +348,37 @@ def _feature_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _a7_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 halo variant through the engine's DataFrame plan (offset explode
+    + equi-join); oracle = the same semantics in portable SQL."""
+    from lasutility_spark.engine import voxel
+
+    pts = epoints.synth_points(spark, sf_dir)
+    return voxel.neighborhood_max_halo(pts)
+
+
+# real kernel/engine paths vs independent closed-form/side-table oracles
+_KERNEL_WITH_ORACLE.update(
+    {
+        "v5_pip_classify": (_pip_classify, geosql.pip_classify_kernel_sql, ["lineitem"]),
+        "a7_halo": (_a7_halo, geosql.neighborhood_max_halo_sql, ["lineitem"]),
+        "x5_feature_covers": (_feature_covers, _oracle_feature_covers, []),
+        "m1_image_stats": (_image_stats, _oracle_image_stats, []),
+        "m2_image_resize": (_image_resize, _oracle_resize_stats, []),
+        "m3_frame_sample": (_frame_sample, _oracle_frames, []),
+    }
+)
+
+# No-oracle queries: raster/triangle outputs whose values are pinned by
+# the pytest golden/PSNR/parity suite instead (Delaunay triangle counts
+# are co-circular-tie dependent; full clipped-feature rasters are not
+# SQL-expressible).
 _ROWS_ONLY = {
     "t9_tin_rasterize": _tin_rasterize,
     "t9_tin_rasterize_skew": _tin_rasterize_skew,
-    "x5_feature_covers": _feature_covers,
     "s10_triangle_features": _tin_triangle_features,
     "b_voxel_tin_backfill": _tin_rasterize_voxel,
     "v5_pip_rasterize": _pip_rasterize,
-    "v5_pip_classify": _pip_classify,
-    "m1_image_stats": _image_stats,
-    "m2_image_resize": _image_resize,
-    "m3_frame_sample": _frame_sample,
 }
 
 

@@ -25,7 +25,7 @@ import pandas as pd
 
 from .gridlib import topodb
 from .gridlib.phash import phash64
-from .gridlib.png import dem_to_png16
+from .gridlib.png import dem_to_png16, quantize_dem
 from .gridlib.tilenamer import tile_decode, tile_encode
 from .gridlib.wkb import encode_linestring, encode_polygon
 
@@ -85,6 +85,16 @@ def tile_names(n_tiles: int) -> list[str]:
     return names
 
 
+def tile_dem(name: str, px: int = 128) -> np.ndarray:
+    """Deterministic float32 DEM plane for a tile (cell-center sampled)."""
+    minx, miny, maxx, maxy = tile_decode(name)
+    cs = (maxx - minx) / px
+    cols, rws = np.meshgrid(np.arange(px), np.arange(px))
+    ex = minx + (cols + 0.5) * cs
+    ny = miny + (rws + 0.5) * cs
+    return terrain_z(ex, ny).astype(np.float32)
+
+
 def gen_tile_rows(names: list[str], px: int = 128) -> pd.DataFrame:
     """Per-tile core: tile names -> image-table rows (the input_hint shape).
 
@@ -95,10 +105,7 @@ def gen_tile_rows(names: list[str], px: int = 128) -> pd.DataFrame:
     for name in names:
         minx, miny, maxx, maxy = tile_decode(name)
         cs = (maxx - minx) / px
-        cols, rws = np.meshgrid(np.arange(px), np.arange(px))
-        ex = minx + (cols + 0.5) * cs
-        ny = miny + (rws + 0.5) * cs
-        dem = terrain_z(ex, ny).astype(np.float32)
+        dem = tile_dem(name, px)
         data = dem_to_png16(dem, Z_MIN, Z_MAX)
         caption = CAPTION_FMT.format(
             name=name, minx=minx, miny=miny, maxx=maxx, maxy=maxy,
@@ -166,7 +173,12 @@ def sample_points_from_tile(
 def gen_features(area_tiles: list[str], n_polygons: int, n_lines: int):
     """Seeded polygons (some holed) + polylines over the tile area, with
     luokka codes from the TopographicDb code books and a ``seq`` overlay
-    rank (V8 last-writer-wins)."""
+    rank (V8 last-writer-wins).
+
+    Returns (polygons, lines, envelopes): the third frame carries each
+    feature's bounding box computed from the RAW vertex arrays before WKB
+    encoding — the independent oracle for the X5 cover explode (which
+    derives envelopes by decoding the WKB)."""
     envs = [tile_decode(t) for t in area_tiles]
     minx = min(e[0] for e in envs)
     miny = min(e[1] for e in envs)
@@ -176,6 +188,7 @@ def gen_features(area_tiles: list[str], n_polygons: int, n_lines: int):
     poly_codes = sorted(topodb.ALL_POLYGON)
     line_codes = sorted(topodb.ALL_LINE)
 
+    envs = []
     polys = []
     for fid in range(n_polygons):
         cx = rng.uniform(minx + 50, maxx - 50)
@@ -191,14 +204,25 @@ def gen_features(area_tiles: list[str], n_polygons: int, n_lines: int):
             hxs = cx + hr * np.cos(ang)
             hys = cy + hr * np.sin(ang)
             rings.append((hxs[::-1], hys[::-1]))
+        luokka = int(poly_codes[rng.randint(len(poly_codes))])
         polys.append(
             {
                 "feature_id": fid,
                 "geom_wkb": encode_polygon(
                     [(np.append(r[0], r[0][0]), np.append(r[1], r[1][0])) for r in rings]
                 ),
-                "luokka": int(poly_codes[rng.randint(len(poly_codes))]),
+                "luokka": luokka,
                 "seq": fid,
+            }
+        )
+        envs.append(
+            {
+                "feature_id": fid, "kind": "polygon", "luokka": luokka,
+                "seq": fid,
+                "minx": float(min(r[0].min() for r in rings)),
+                "miny": float(min(r[1].min() for r in rings)),
+                "maxx": float(max(r[0].max() for r in rings)),
+                "maxy": float(max(r[1].max() for r in rings)),
             }
         )
 
@@ -211,15 +235,84 @@ def gen_features(area_tiles: list[str], n_polygons: int, n_lines: int):
         pts = np.vstack([[x0, y0], np.cumsum(steps, axis=0) + [x0, y0]])
         xs = np.clip(pts[:, 0], minx, maxx - 0.01)
         ys = np.clip(pts[:, 1], miny, maxy - 0.01)
+        luokka = int(line_codes[rng.randint(len(line_codes))])
         lines.append(
             {
                 "feature_id": n_polygons + fid,
                 "geom_wkb": encode_linestring(xs, ys),
-                "luokka": int(line_codes[rng.randint(len(line_codes))]),
+                "luokka": luokka,
                 "seq": n_polygons + fid,
             }
         )
-    return pd.DataFrame(polys), pd.DataFrame(lines)
+        envs.append(
+            {
+                "feature_id": n_polygons + fid, "kind": "line",
+                "luokka": luokka, "seq": n_polygons + fid,
+                "minx": float(xs.min()), "miny": float(ys.min()),
+                "maxx": float(xs.max()), "maxy": float(ys.max()),
+            }
+        )
+    return pd.DataFrame(polys), pd.DataFrame(lines), pd.DataFrame(envs)
+
+
+# oracle side tables --------------------------------------------------------
+#
+# Expected results for the multimodal kernels, computed at generation time
+# from the raw planes (NOT by running the engine): the image-stats oracle
+# quantizes the DEM directly and the engine must reproduce it through a
+# full PNG encode->decode round trip; the resize oracle block-means the
+# quantized plane and the engine must match through decode->resize->
+# re-encode->decode.  frames.parquet is a golden table over the written
+# PNG bytes for the (declared) frame-sampler stub.
+
+
+def _plane_stats(image_id: str, plane: np.ndarray) -> dict:
+    a = plane.astype(np.float64)
+    return {
+        "image_id": image_id,
+        "w": np.int32(plane.shape[1]),
+        "h": np.int32(plane.shape[0]),
+        "px_min": float(a.min()),
+        "px_max": float(a.max()),
+        "px_mean": float(a.mean()),
+        "px_nonzero": np.int64((a != 0).sum()),
+        "phash": np.int64(phash64(a)),
+    }
+
+
+def gen_oracle_tables(
+    names: list[str], png_bytes: list[bytes], px: int = 128,
+    resize_factor: int = 2, every_n_bytes: int = 4096,
+):
+    """(image_stats, resize_stats, frames) expected-result frames."""
+    stats_rows, resize_rows, frame_rows = [], [], []
+    for name, raw in zip(names, png_bytes):
+        q = quantize_dem(tile_dem(name, px), Z_MIN, Z_MAX)
+        stats_rows.append(_plane_stats(name, q))
+        f = resize_factor
+        hh, ww = px // f, px // f
+        small = (
+            q[: hh * f, : ww * f].reshape(hh, f, ww, f).mean(axis=(1, 3))
+        ).astype(q.dtype)
+        resize_rows.append(_plane_stats(name, small))
+        for k, off in enumerate(range(0, len(raw), every_n_bytes)):
+            window = raw[off : off + 8].ljust(8, b"\0")
+            frame_rows.append(
+                {
+                    "media_id": name,
+                    "frame_idx": np.int32(k),
+                    "byte_offset": np.int64(off),
+                    "frame_hash": np.int64(
+                        _splitmix64(np.frombuffer(window, dtype=np.uint64))[0]
+                        .astype(np.int64)
+                    ),
+                }
+            )
+    return (
+        pd.DataFrame(stats_rows),
+        pd.DataFrame(resize_rows),
+        pd.DataFrame(frame_rows),
+    )
 
 
 # table writer --------------------------------------------------------------
@@ -238,7 +331,9 @@ def ensure_images_table(
 
     n = n_tiles if n_tiles else SF_TILES.get(sf, max(9, int(2560 * sf)))
     out = os.path.join(base_dir, f"images_n{n}")  # content-addressed by count
-    marker = os.path.join(out, "_SUCCESS")
+    # v2: adds the oracle side tables (feature_envelopes / image_stats /
+    # resize_stats / frames); older caches regenerate in full (idempotent)
+    marker = os.path.join(out, "_SUCCESS_v2")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
@@ -263,7 +358,7 @@ def ensure_images_table(
         os.path.join(out, "images.parquet"),
         row_group_size=64,
     )
-    pdf, ldf = gen_features(names, n_polygons=max(40, 8 * n), n_lines=max(40, 8 * n))
+    pdf, ldf, edf = gen_features(names, n_polygons=max(40, 8 * n), n_lines=max(40, 8 * n))
     pq.write_table(
         pa.Table.from_pandas(pdf, preserve_index=False),
         os.path.join(out, "polygons.parquet"),
@@ -272,5 +367,19 @@ def ensure_images_table(
         pa.Table.from_pandas(ldf, preserve_index=False),
         os.path.join(out, "lines.parquet"),
     )
+    pq.write_table(
+        pa.Table.from_pandas(edf, preserve_index=False),
+        os.path.join(out, "feature_envelopes.parquet"),
+    )
+    sdf, rdf, fdf = gen_oracle_tables(names, [bytes(b) for b in df["bytes"]])
+    for fname, frame in (
+        ("image_stats.parquet", sdf),
+        ("resize_stats.parquet", rdf),
+        ("frames.parquet", fdf),
+    ):
+        pq.write_table(
+            pa.Table.from_pandas(frame, preserve_index=False),
+            os.path.join(out, fname),
+        )
     open(marker, "w").close()
     return out

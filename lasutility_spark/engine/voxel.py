@@ -116,6 +116,61 @@ def neighborhood_max(points: DataFrame, radius: int, lo: int, hi: int) -> DataFr
     )
 
 
+def neighborhood_max_halo(
+    points: DataFrame,
+    radius: int = 1,
+    lo: int = 3,
+    hi: int = 5,
+    cell_m: float = 7.8125,
+    origin_east: float = -76000.0,
+    origin_north: float = 6570000.0,
+) -> DataFrame:
+    """A7 halo variant: local maxima on the GLOBAL cell grid, so
+    neighborhoods cross 1 km tile borders (the at-scale complement of
+    :func:`neighborhood_max`'s reference-parity clamp, VoxelGrid.cs:274-281).
+
+    Physical plan: per-cell max (one hash agg), then each cell explodes
+    its (2r+1)^2-1 neighbor offsets and LEFT equi-joins the cell-max
+    table on (gr, gc) — a plain shuffled equi-join that AQE can
+    broadcast/skew-split; never an inequality join, no per-tile
+    materialization, scales to any grid extent."""
+    gr = F.floor((F.col("y") - F.lit(origin_north)) / F.lit(cell_m)).cast("long")
+    gc = F.floor((F.col("x") - F.lit(origin_east)) / F.lit(cell_m)).cast("long")
+    cellmax = (
+        points.filter(F.col("cls").between(lo, hi))
+        .groupBy(gr.alias("gr"), gc.alias("gc"))
+        .agg(F.max("z").alias("zmax"))
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+            for dr in range(-radius, radius + 1)
+            for dc in range(-radius, radius + 1)
+            if not (dr == 0 and dc == 0)
+        ]
+    )
+    probes = cellmax.select(
+        "gr", "gc", F.col("zmax").alias("azmax"), F.explode(offs).alias("o")
+    ).select(
+        "gr", "gc", "azmax",
+        (F.col("gr") + F.col("o.dr")).alias("ngr"),
+        (F.col("gc") + F.col("o.dc")).alias("ngc"),
+    )
+    nb = cellmax.select(
+        F.col("gr").alias("ngr"), F.col("gc").alias("ngc"),
+        F.col("zmax").alias("bzmax"),
+    )
+    return (
+        probes.join(nb, ["ngr", "ngc"], "left")
+        .groupBy("gr", "gc", F.col("azmax").alias("zmax"))
+        .agg(
+            (F.count(F.when(F.col("bzmax") >= F.col("azmax"), 1)) == 0)
+            .cast("int")
+            .alias("is_local_max")
+        )
+    )
+
+
 def extent(points: DataFrame) -> DataFrame:
     """S4 (Shapefile/Rasteriser.cs:23-41): floor/ceil integer envelope."""
     return points.agg(

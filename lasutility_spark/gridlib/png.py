@@ -114,16 +114,21 @@ def png_decode(data: bytes) -> np.ndarray:
     ).astype(np.uint16)[:, :, 1]
 
 
-def dem_to_png16(dem: np.ndarray, z_min: float, z_max: float) -> bytes:
-    """Quantize a float DEM (NaN = missing) to 16-bit PNG: 0 reserved for
-    NaN, 1..65535 linear over [z_min, z_max]."""
+def quantize_dem(dem: np.ndarray, z_min: float, z_max: float) -> np.ndarray:
+    """Float DEM (NaN = missing) -> uint16 plane: 0 reserved for NaN,
+    1..65535 linear over [z_min, z_max].  Shared by the encoder and the
+    datagen oracle tables so both sides quantize identically."""
     scale = 65534.0 / max(z_max - z_min, 1e-9)
-    q = np.where(
+    return np.where(
         np.isnan(dem),
         0,
         (np.clip(dem, z_min, z_max) - z_min) * scale + 1.0,
     ).astype(np.uint16)
-    return png_encode(q)
+
+
+def dem_to_png16(dem: np.ndarray, z_min: float, z_max: float) -> bytes:
+    """Quantize a float DEM to 16-bit PNG (see :func:`quantize_dem`)."""
+    return png_encode(quantize_dem(dem, z_min, z_max))
 
 
 def png16_to_dem(data: bytes, z_min: float, z_max: float) -> np.ndarray:

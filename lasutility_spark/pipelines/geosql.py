@@ -240,6 +240,192 @@ def pip_literal_sql(dialect: str) -> str:
     )
 
 
+def neighborhood_max_halo_sql(dialect: str, radius: int = 1, lo: int = 3, hi: int = 5) -> str:
+    """A7 halo variant: strict local maxima over Chebyshev ``radius`` on
+    the GLOBAL cell grid — neighborhoods cross 1 km tile borders (the
+    at-scale complement of A7's reference-parity border clamp,
+    VoxelGrid.cs:274-281).  Neighbor probing is an equi-join after a
+    small offset explode (shuffle on (gr, gc)) — never an inequality
+    join."""
+    offs = ", ".join(
+        f"({dr}, {dc})"
+        for dr in range(-radius, radius + 1)
+        for dc in range(-radius, radius + 1)
+        if not (dr == 0 and dc == 0)
+    )
+    return _with_points(
+        f"""
+    , cellmax AS (
+      SELECT CAST(FLOOR((y - 6570000.0) / 7.8125e0) AS BIGINT) AS gr,
+             CAST(FLOOR((x - (-76000.0)) / 7.8125e0) AS BIGINT) AS gc,
+             MAX(z) AS zmax
+      FROM points WHERE cls BETWEEN {lo} AND {hi}
+      GROUP BY 1, 2
+    )
+    SELECT a.gr, a.gc, a.zmax,
+           CAST((COUNT(CASE WHEN b.zmax >= a.zmax THEN 1 END) = 0) AS INT)
+             AS is_local_max
+    FROM cellmax a
+    CROSS JOIN (VALUES {offs}) AS o(dr, dc)
+    LEFT JOIN cellmax b ON b.gr = a.gr + o.dr AND b.gc = a.gc + o.dc
+    GROUP BY a.gr, a.gc, a.zmax
+    """
+    )
+
+
+# --- literal feature set for the kernel-path PIP classification oracle ----
+#
+# Three polygons (one pair overlapping for V8 last-writer-wins, one with a
+# hole for V6), each strictly inside one 1 km tile so the per-tile clip is
+# the identity and the even-odd fill is expressible in closed-form SQL.
+# The Spark side runs the REAL kernel (WKB decode -> clip -> C/numpy
+# even-odd scanline -> raster -> point lookup); the oracle replays the
+# pinned integer cell-space arithmetic (MathUtils.cs:114-170) directly.
+
+_PIPK_CS = 1000.0 / 128  # 7.8125, exact in binary
+_PIPK_PX = 128
+
+# (seq, luokka, value, tile_minx, tile_miny, rings) — rings open, world
+# coords, exterior first; vertices keep >=100 m margin to the tile edge.
+PIPK_FEATURES = [
+    (
+        1, 901, 10, 381000.0, 6667000.0,
+        [
+            [
+                (381100.25, 6667100.25), (381800.5, 6667150.75),
+                (381600.25, 6667500.5), (381850.75, 6667820.25),
+                (381300.5, 6667900.75), (381400.25, 6667500.25),
+            ]
+        ],
+    ),
+    (
+        2, 902, 20, 381000.0, 6667000.0,
+        [
+            [
+                (381500.5, 6667300.5), (381900.25, 6667350.25),
+                (381880.75, 6667700.75), (381520.25, 6667650.5),
+            ]
+        ],
+    ),
+    (
+        3, 903, 30, 383000.0, 6669000.0,
+        [
+            [
+                (383850.25, 6669500.5), (383747.5, 6669747.25),
+                (383500.25, 6669850.5), (383252.75, 6669747.5),
+                (383150.25, 6669500.25), (383252.5, 6669252.75),
+                (383500.5, 6669150.25), (383747.25, 6669252.5),
+            ],
+            [
+                (383400.25, 6669400.25), (383600.5, 6669400.5),
+                (383600.25, 6669600.75), (383400.5, 6669600.5),
+            ],
+        ],
+    ),
+]
+
+PIPK_CLASSMAP = {901: 10, 902: 20, 903: 30}
+
+
+def _pipk_cell(v: float, origin: float) -> int:
+    return int((v - origin) / _PIPK_CS)
+
+
+def pip_classify_kernel_sql(dialect: str) -> str:
+    """Oracle for the kernel-path point->class PIP join: every synthesized
+    point gets the class value of its raster cell under the literal
+    feature set; per-value counts.
+
+    Replays the engine's pinned arithmetic in SQL: vertex coords mapped to
+    integer cell space (RasterBounds.cs:126-132), even-odd crossing rule
+    ``yi < Y <= yj`` either direction with the truncating node-x formula
+    (MathUtils.cs:131,136), right-exclusive spans == odd count of node_x
+    <= C, holes via exterior-odd AND holes-even plus the reference's
+    exclusive copy-back window (RasteriserEvenOdd.cs:134-136), and
+    last-writer-wins by max seq (V8)."""
+    edge_rows, win_rows = [], []
+    for seq, _luokka, value, tminx, tminy, rings in PIPK_FEATURES:
+        for ring_idx, ring in enumerate(rings):
+            cells = [
+                (_pipk_cell(vx, tminx), _pipk_cell(vy, tminy)) for vx, vy in ring
+            ]
+            n = len(cells)
+            for k in range(n):  # i = v[k], j = v[k-1] (np.roll semantics)
+                xi, yi = cells[k]
+                xj, yj = cells[k - 1]
+                tcol = int((tminx - tn.ORIGIN_EAST) // 1000)
+                trow = int((tminy - tn.ORIGIN_NORTH) // 1000)
+                edge_rows.append(
+                    f"({seq}, {ring_idx}, {value}, {tcol}, {trow}, "
+                    f"{xi}, {yi}, {xj}, {yj})"
+                )
+        ext = rings[0]
+        exc = [(_pipk_cell(vx, tminx), _pipk_cell(vy, tminy)) for vx, vy in ext]
+        if len(rings) > 1:  # holed: exclusive copy-back window of the ext bbox
+            wr0 = min(r for _c, r in exc)
+            wr1 = max(r for _c, r in exc)
+            wc0 = min(c for c, _r in exc)
+            wc1 = max(c for c, _r in exc)
+        else:  # direct fill: window is the whole tile
+            wr0, wr1, wc0, wc1 = 0, _PIPK_PX, 0, _PIPK_PX
+        win_rows.append(f"({seq}, {wr0}, {wr1}, {wc0}, {wc1})")
+
+    edges = ", ".join(edge_rows)
+    wins = ", ".join(win_rows)
+    return _with_points(
+        f"""
+    , pts AS (
+      SELECT x, y,
+             CAST(FLOOR((x - (-76000.0)) / 1000.0) AS BIGINT) AS tcol,
+             CAST(FLOOR((y - 6570000.0) / 1000.0) AS BIGINT) AS trow,
+             {_ROW} AS r, {_COL} AS c
+      FROM points
+    ),
+    dpts AS (SELECT DISTINCT x, y, tcol, trow, r, c FROM pts),
+    edges AS (
+      SELECT * FROM (VALUES {edges})
+        AS e(seq, ring, val, tcol, trow, xi, yi, xj, yj)
+    ),
+    wins AS (
+      SELECT * FROM (VALUES {wins}) AS w(seq, wr0, wr1, wc0, wc1)
+    ),
+    par AS (
+      SELECT d.x, d.y, d.r, d.c, e.seq, e.ring, MAX(e.val) AS val,
+             CAST(SUM(CASE WHEN (
+                      (e.yi < d.r AND e.yj >= d.r)
+                   OR (e.yj < d.r AND e.yi >= d.r))
+                   AND CAST(FLOOR(e.xi
+                       + CAST(d.r - e.yi AS DOUBLE) / (e.yj - e.yi)
+                         * (e.xj - e.xi)) AS BIGINT) <= d.c
+                 THEN 1 ELSE 0 END) % 2 AS INT) AS parity
+      FROM dpts d JOIN edges e ON d.tcol = e.tcol AND d.trow = e.trow
+      GROUP BY d.x, d.y, d.r, d.c, e.seq, e.ring
+    ),
+    feat AS (
+      SELECT p.x, p.y, p.seq, MAX(p.val) AS val,
+             CASE WHEN MAX(CASE WHEN p.ring = 0 THEN p.parity END) = 1
+                   AND COALESCE(SUM(CASE WHEN p.ring > 0 THEN p.parity END), 0) = 0
+                   AND MAX(p.r) >= MAX(w.wr0) AND MAX(p.r) < MAX(w.wr1)
+                   AND MAX(p.c) >= MAX(w.wc0) AND MAX(p.c) < MAX(w.wc1)
+              THEN 1 ELSE 0 END AS painted
+      FROM par p JOIN wins w ON w.seq = p.seq
+      GROUP BY p.x, p.y, p.seq
+    ),
+    win2 AS (
+      SELECT x, y, MAX(CASE WHEN painted = 1 THEN seq END) AS wseq
+      FROM feat GROUP BY x, y
+    ),
+    sel AS (
+      SELECT w.x, w.y, CAST(f.val AS INT) AS value
+      FROM win2 w JOIN feat f ON f.x = w.x AND f.y = w.y AND f.seq = w.wseq
+    )
+    SELECT COALESCE(s.value, 0) AS value, COUNT(*) AS n_points
+    FROM pts p LEFT JOIN sel s ON s.x = p.x AND s.y = p.y
+    GROUP BY 1
+    """
+    )
+
+
 def classmap_union_sql(dialect: str) -> str:
     """V1: class-map dimension union minus removals (Rasteriser.cs:43-56)
     over literal VALUES — the broadcast dimension table ops."""

@@ -41,7 +41,7 @@ def main() -> None:
     assert (maxx - minx) == 12000 and (maxy - miny) == 12000
 
     # fixture-scale feature set: 2,044 polygons + 5,052 lines over the tile
-    pdf, ldf = datagen.gen_features(["L4133L"], n_polygons=2044, n_lines=5052)
+    pdf, ldf, _edf = datagen.gen_features(["L4133L"], n_polygons=2044, n_lines=5052)
     feats = [
         (int(s), int(l), bytes(g))
         for s, l, g in zip(pdf["seq"], pdf["luokka"], pdf["geom_wkb"])
