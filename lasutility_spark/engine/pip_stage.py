@@ -45,18 +45,46 @@ PIP_TILE_SCHEMA = (
     "caption string, phash long, n_features int, painted_cells int"
 )
 
+# per-worker-process memo of decoded broadcast feature sets: decoding the
+# WKB of ~1e5 features costs more than rasterizing one tile, so paying it
+# per (tile x feature) made the broadcast strategy O(tiles * features) in
+# Python decode time.  Keyed by the broadcast id; Spark reuses Python
+# workers (spark.python.worker.reuse), so each executor decodes once.
+_DECODED_BROADCASTS: dict[int, list] = {}
+
+
+def _decoded_feats(b_feats) -> list:
+    """Broadcast [(seq, luokka, wkb_bytes), ...] -> decoded once per worker.
+
+    Keyed by id() of the broadcast VALUE: the PySpark worker keeps one
+    loaded value per broadcast id in its registry, so the id is stable
+    across tasks in a reused worker (the Broadcast wrapper itself is
+    re-deserialized per task and is not a stable key)."""
+    val = b_feats.value
+    key = id(val)
+    got = _DECODED_BROADCASTS.get(key)
+    if got is None:
+        raw = val[0] if isinstance(val, tuple) else val
+        got = [(s, l, wkb.decode(g)) for s, l, g in raw]
+        _DECODED_BROADCASTS.clear()  # hold at most one set per worker
+        _DECODED_BROADCASTS[key] = got
+    return got
+
 
 def _rasterize_tile(
     cell: int,
     px: int,
     size_north: int,
-    feats: list[tuple[int, int, bytes]],
+    feats: list[tuple[int, int, object]],
     classmap: dict[int, int],
 ) -> dict:
     """One tile: apply features (seq-sorted) onto a fresh byte raster.
 
-    feats: (seq, luokka, wkb) — caller must NOT pre-sort; sorted here so
-    both strategies agree (V8 RasteriserEvenOdd.Tests.cs:45-46).
+    feats: (seq, luokka, geom) where geom is WKB bytes OR an
+    already-decoded :class:`wkb.Geometry` (hot paths decode each feature
+    once per executor/batch instead of once per tile).  Caller must NOT
+    pre-sort; sorted here so both strategies agree
+    (V8 RasteriserEvenOdd.Tests.cs:45-46).
     """
     minx, miny, maxx, maxy = (
         int(v) for v in np.array(cell_id_envelope(np.array([cell]), size_north)).ravel()
@@ -69,11 +97,11 @@ def _rasterize_tile(
     cmaxx, cmaxy = maxx - EPSILON, maxy - EPSILON
 
     n_applied = 0
-    for seq, luokka, gbytes in sorted(feats, key=lambda t: t[0]):
+    for seq, luokka, gobj in sorted(feats, key=lambda t: t[0]):
         value = classmap.get(int(luokka))
         if value is None:  # V2 (RasteriserEvenOdd.cs:33-38)
             continue
-        geom = wkb.decode(gbytes)
+        geom = gobj if isinstance(gobj, wkb.Geometry) else wkb.decode(gobj)
         applied = False
         for rings in geom.polygons():  # V4 dispatch + multi explode
             ext = clip_ring(rings[0][0], rings[0][1], cminx, cminy, cmaxx, cmaxy)
@@ -136,9 +164,10 @@ def rasterize_features_broadcast(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            feats_dec = _decoded_feats(b_feats)
             out = [
                 _rasterize_tile(
-                    int(c), px, size_north, b_feats.value, b_map.value
+                    int(c), px, size_north, feats_dec, b_map.value
                 )
                 for c in pdf["cell_id"]
             ]
@@ -219,6 +248,7 @@ def classify_images_fused(
     classmap: dict[int, int],
     px: int = 128,
     size_north: int = 1000,
+    batch_parent: int = 3,
 ) -> DataFrame:
     """Fused tile-level PIP classification — the 100 TB-shape of the
     point->class join.
@@ -237,6 +267,15 @@ def classify_images_fused(
 
     Emits per-partition lineage metrics (n_points per tile) via the
     n_points column — summable downstream for the north-rule row counts.
+
+    ``batch_parent``: cogroup on the ``batch_parent`` x ``batch_parent``
+    PARENT cell (the tile grammar is hierarchical — 3 km over 1 km by
+    default), not the tile itself.  Each Python group crossing carries
+    ~batch_parent^2 tiles, cutting the per-group fixed cost (Arrow
+    round-trip, kernel dispatch) ~9x, and features covering several tiles
+    of one parent are WKB-decoded once per group instead of once per
+    tile.  Group payload stays bounded (9 tile rows + their features).
+    Set to 1 for the plain per-tile cogroup.
     """
     from .. import datagen as dg
     from ..gridlib.png import png16_to_dem, png_decode
@@ -252,6 +291,10 @@ def classify_images_fused(
     # covered cell.  AQE picks broadcast for small tile sets, SMJ at scale.
     covers = covers.join(images.select("cell_id").distinct(), "cell_id", "semi")
     cmap = dict(classmap)
+    parent = F.expr(
+        f"(shiftright(cell_id, 32) DIV {batch_parent}) * 4294967296"
+        f" + ((cell_id & 4294967295) DIV {batch_parent})"
+    ).alias("parent_id")
 
     def run(key, img_pdf: pd.DataFrame, feat_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -264,40 +307,51 @@ def classify_images_fused(
         )
         if img_pdf.empty:
             return empty
-        cell = int(key[0])
-        feats = [
-            (int(s), int(l), bytes(g))
-            for s, l, g in zip(
-                feat_pdf["seq"], feat_pdf["luokka"], feat_pdf["geom_wkb"]
-            )
-        ]
-        tile = _rasterize_tile(cell, px, size_north, feats, cmap)
-        raster = png_decode(bytes(tile["bytes"]))
+        feat_by_cell = (
+            {c: g for c, g in feat_pdf.groupby("cell_id")}
+            if not feat_pdf.empty
+            else {}
+        )
+        decode_memo: dict[bytes, object] = {}
         out = []
-        for cap, data in zip(img_pdf["caption"], img_pdf["bytes"]):
-            name, minx, miny, maxx, maxy, cs, _ = dg.parse_caption(cap)
-            dem = png16_to_dem(bytes(data), dg.Z_MIN, dg.Z_MAX)
-            x, y, _z, _c = dg.sample_points_from_tile(name, dem, minx, miny, cs)
-            rcs = (maxx - minx) / raster.shape[1]
-            row = ((y - miny) / rcs).astype(np.int64)
-            col = ((x - minx) / rcs).astype(np.int64)
-            vals = raster[row, col]
-            uv, cnt = np.unique(vals, return_counts=True)
-            for v, n in zip(uv, cnt):
-                out.append(
-                    {
-                        "cell_id": cell,
-                        "image_id": name,
-                        "value": int(v),
-                        "n_points": int(n),
-                    }
-                )
+        for cell, sub in img_pdf.groupby("cell_id"):
+            cell = int(cell)
+            feats = []
+            fp = feat_by_cell.get(cell)
+            if fp is not None:
+                for s, l, g in zip(fp["seq"], fp["luokka"], fp["geom_wkb"]):
+                    gb = bytes(g)
+                    geom = decode_memo.get(gb)
+                    if geom is None:
+                        geom = wkb.decode(gb)
+                        decode_memo[gb] = geom
+                    feats.append((int(s), int(l), geom))
+            tile = _rasterize_tile(cell, px, size_north, feats, cmap)
+            raster = png_decode(bytes(tile["bytes"]))
+            for cap, data in zip(sub["caption"], sub["bytes"]):
+                name, minx, miny, maxx, maxy, cs, _ = dg.parse_caption(cap)
+                dem = png16_to_dem(bytes(data), dg.Z_MIN, dg.Z_MAX)
+                x, y, _z, _c = dg.sample_points_from_tile(name, dem, minx, miny, cs)
+                rcs = (maxx - minx) / raster.shape[1]
+                row = ((y - miny) / rcs).astype(np.int64)
+                col = ((x - minx) / rcs).astype(np.int64)
+                vals = raster[row, col]
+                uv, cnt = np.unique(vals, return_counts=True)
+                for v, n in zip(uv, cnt):
+                    out.append(
+                        {
+                            "cell_id": cell,
+                            "image_id": name,
+                            "value": int(v),
+                            "n_points": int(n),
+                        }
+                    )
         return pd.DataFrame(out) if out else empty
 
     return (
-        images.select("cell_id", "caption", "bytes")
-        .groupBy("cell_id")
-        .cogroup(covers.groupBy("cell_id"))
+        images.select("cell_id", "caption", "bytes").withColumn("parent_id", parent)
+        .groupBy("parent_id")
+        .cogroup(covers.withColumn("parent_id", parent).groupBy("parent_id"))
         .applyInPandas(
             run, "cell_id long, image_id string, value int, n_points long"
         )
@@ -337,7 +391,8 @@ def classify_images_broadcast(
     b_map = spark.sparkContext.broadcast(dict(classmap))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_feats, fenvs = b_feats.value
+        all_feats = _decoded_feats(b_feats)  # decode once per worker
+        fenvs = b_feats.value[1]
         cmap = b_map.value
         for pdf in batches:
             out = []

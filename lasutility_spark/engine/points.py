@@ -29,9 +29,9 @@ DECODED_SCHEMA = (
 def _decode_points_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out_x, out_y, out_z, out_c = [], [], [], []
-        for _, r in pdf.iterrows():
-            name, minx, miny, maxx, maxy, cs, _ = datagen.parse_caption(r["caption"])
-            dem = png16_to_dem(r["bytes"], datagen.Z_MIN, datagen.Z_MAX)
+        for cap, data in zip(pdf["caption"], pdf["bytes"]):
+            name, minx, miny, maxx, maxy, cs, _ = datagen.parse_caption(cap)
+            dem = png16_to_dem(data, datagen.Z_MIN, datagen.Z_MAX)
             x, y, z, cls = datagen.sample_points_from_tile(name, dem, minx, miny, cs)
             out_x.append(x)
             out_y.append(y)

@@ -130,19 +130,21 @@ def _build_and_load():
         ctypes.c_void_p,                                            # locked
         ctypes.c_void_p,                                            # classification
     ]
-    u8 = np.ctypeslib.ndpointer(dtype=np.uint8, flags=("C_CONTIGUOUS", "WRITEABLE"))
-    i64 = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+    # raw pointers for the per-ring hot kernels: ndpointer.from_param
+    # flag validation costs ~10 us per call, called ~70x per tile; the
+    # Python wrappers below enforce dtype/contiguity themselves
     pfn = lib.lsu_fill_polygon_cells
     pfn.restype = None
     pfn.argtypes = [
-        u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
-        ctypes.c_int64, ctypes.c_int64, f64, f64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64,
     ]
     lfn = lib.lsu_rasterize_polyline
     lfn.restype = None
     lfn.argtypes = [
-        u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, i64, i64,
-        ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ]
     return fn, rfn, pfn, lfn
 
@@ -252,8 +254,8 @@ def fill_polygon_cells(
         # than risk silently mispaired even-odd spans on huge rings
         return False
     rows, cols = dest.shape
-    _fill_fn(dest, rows, cols, int(value), int(row_bot), int(row_top),
-             px, py, len(px))
+    _fill_fn(dest.ctypes.data, rows, cols, int(value), int(row_bot),
+             int(row_top), px.ctypes.data, py.ctypes.data, len(px))
     return True
 
 
@@ -269,5 +271,6 @@ def rasterize_polyline(
     vr = np.ascontiguousarray(vrows, dtype=np.int64)
     vc = np.ascontiguousarray(vcols, dtype=np.int64)
     rows, cols = dest.shape
-    _line_fn(dest, rows, cols, int(value), vr, vc, len(vr))
+    _line_fn(dest.ctypes.data, rows, cols, int(value), vr.ctypes.data,
+             vc.ctypes.data, len(vr))
     return True

@@ -59,9 +59,30 @@ class RasterBounds:
         row = np.where(inb, ((y - self.miny) / self.cell_height).astype(np.int64), -1)
         return row.astype(np.int32), col.astype(np.int32)
 
+    def proj_to_cell_unchecked(self, x, y):
+        """(x, y) arrays KNOWN to be in bounds -> (row, col) int32 arrays.
+
+        Skips the bounds mask of :meth:`proj_to_cell` — callers that just
+        clipped to a box inside the bounds (the per-ring hot path) pay a
+        measurable cost for the redundant compare/where on tiny arrays.
+        """
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        row = ((y - self.miny) / self.cell_height).astype(np.int32)
+        col = ((x - self.minx) / self.cell_width).astype(np.int32)
+        return row, col
+
     def proj_to_cell_scalar(self, x: float, y: float) -> tuple[int, int]:
-        r, c = self.proj_to_cell(np.array([x]), np.array([y]))
-        return int(r[0]), int(c[0])
+        """Scalar point -> (row, col); (-1, -1) out of bounds.  Plain
+        float arithmetic (no array round-trip) — the PIP kernel calls
+        this tens of times per tile.  int() truncation equals the array
+        path's astype(int64) because inputs are non-negative in bounds."""
+        if self.minx <= x < self.maxx and self.miny <= y < self.maxy:
+            return (
+                int((y - self.miny) / self.cell_height),
+                int((x - self.minx) / self.cell_width),
+            )
+        return -1, -1
 
     # --- cell -> point (X4; RasterBounds.cs:90-111) ----------------------
 

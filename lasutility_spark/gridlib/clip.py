@@ -18,9 +18,20 @@ def clip_ring(xs: np.ndarray, ys: np.ndarray, minx, miny, maxx, maxy):
 
     Returns open rings (no duplicated last vertex), like the input.
     """
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) and xs[0] == xs[-1] and ys[0] == ys[-1]:
+        xs, ys = xs[:-1], ys[:-1]
+    # identity fast path: ring fully inside the box (the common case at
+    # 1 km tiles vs ~100 m features) — S-H would return it unchanged
+    if (
+        len(xs) >= 3
+        and xs.min() >= minx and xs.max() <= maxx
+        and ys.min() >= miny and ys.max() <= maxy
+    ):
+        return xs, ys
+
     pts = list(zip(xs.tolist(), ys.tolist()))
-    if pts and pts[0] == pts[-1]:
-        pts = pts[:-1]
 
     def inside(p, edge):
         x, y = p
@@ -67,6 +78,16 @@ def clip_ring(xs: np.ndarray, ys: np.ndarray, minx, miny, maxx, maxy):
 def clip_polyline(xs: np.ndarray, ys: np.ndarray, minx, miny, maxx, maxy):
     """Liang-Barsky per segment -> list of clipped polylines (splits where
     the line exits and re-enters the box)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    # identity fast path: whole polyline inside the box -> one unchanged
+    # part (every segment keeps t0=0, t1=1 in Liang-Barsky)
+    if (
+        len(xs) >= 2
+        and xs.min() >= minx and xs.max() <= maxx
+        and ys.min() >= miny and ys.max() <= maxy
+    ):
+        return [(xs, ys)]
     parts = []
     cur_x: list[float] = []
     cur_y: list[float] = []

@@ -45,7 +45,8 @@ def fill_polygon(
     if rmin < 0 or rmax < 0:
         raise ValueError("Polygon is larger than the bounds")
 
-    rows, cols = bounds.proj_to_cell(ring_x, ring_y)
+    # envelope corners are in bounds (checked above) => every vertex is
+    rows, cols = bounds.proj_to_cell_unchecked(ring_x, ring_y)
     # vertex coords in cell space as doubles (MathUtils.cs:104-109)
     fill_polygon_cells(dest, value, rmin, rmax, cols.astype(np.float64), rows.astype(np.float64))
 
@@ -131,8 +132,12 @@ def rasterize_linestring(
     bounds: RasterBounds, dest: np.ndarray, value: int, xs: np.ndarray, ys: np.ndarray
 ) -> None:
     """V7 wrapper: RasteriserEvenOdd.RasteriseLine (RasteriserEvenOdd.cs:84-101)
-    — per segment, Bresenham over the cell indices of the endpoints."""
-    rows, cols = bounds.proj_to_cell(np.asarray(xs, float), np.asarray(ys, float))
+    — per segment, Bresenham over the cell indices of the endpoints.
+    Callers pass vertices already clipped inside ``bounds`` (V3 runs
+    first, RasteriserEvenOdd.cs:43-48)."""
+    rows, cols = bounds.proj_to_cell_unchecked(
+        np.asarray(xs, float), np.asarray(ys, float)
+    )
     if _native.rasterize_polyline(dest, value, rows, cols):
         return
     for i in range(1, len(rows)):
