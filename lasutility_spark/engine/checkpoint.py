@@ -3,17 +3,24 @@
 The reference checkpoints a whole VoxelGrid as one MessagePack blob with
 an atomic .tmp rename (S11, VoxelGrid/VoxelGrid.cs:347-366).  The engine
 equivalent (north rule): each stage writes its output as a Parquet table
-partitioned by a bucket of the cell id, plus a JSON manifest recording
+plus two Parquet SIDE TABLES and a small JSON manifest:
 
-- lineage: stage name, input paths, parameter hash,
-- per-partition row counts and cell-id ranges (the A8-style
+- ``_keys/``     completed key set (one row per cell id) — written and
+  consumed entirely by Spark jobs; at the 100 TB / ~10^9-tile target the
+  key set alone is GBs, so it must never materialize on the driver
+  (neither as a collect() nor as a JSON array),
+- ``_lineage/``  per-partition row counts and key ranges (the A8-style
   before/after metrics roll up here),
+- ``_manifest.json``  lineage header only: stage name, input paths,
+  parameter hash, aggregate counts — O(1) regardless of scale,
 - a _SUCCESS marker written last (atomic completion point).
 
-Resume = anti-join the pending cell ids against the manifest's completed
-set — only missing tiles are recomputed.  On a real cluster the same
-layout maps 1:1 onto an Iceberg table + snapshot metadata; plain
-Parquet-plus-manifest keeps the sandbox dependency-free.
+Resume = Spark anti-join of the wanted keys against ``_keys/`` — only
+missing tiles are recomputed, no driver-side key materialization.  On a
+real cluster the same layout maps 1:1 onto an Iceberg table + snapshot
+metadata; plain Parquet-plus-manifest keeps the sandbox dependency-free.
+(Subdirectories starting with ``_`` are ignored by Spark's parquet scan
+of the stage path, so the side tables never pollute the data read.)
 """
 
 from __future__ import annotations
@@ -28,6 +35,8 @@ from pyspark.sql import functions as F
 
 MANIFEST = "_manifest.json"
 SUCCESS = "_SUCCESS_STAGE"
+KEYS_DIR = "_keys"
+LINEAGE_DIR = "_lineage"
 
 
 def _params_hash(params: dict) -> str:
@@ -44,23 +53,21 @@ def write_stage(
     params: dict | None = None,
     key: str = "cell_id",
 ) -> dict:
-    """Write a stage table + manifest; returns the manifest dict."""
+    """Write a stage table + side tables + manifest; returns the manifest."""
     params = params or {}
-    tmp_marker = os.path.join(path, SUCCESS)
     df.write.mode("overwrite").parquet(path)
 
     spark = df.sparkSession
     out = spark.read.parquet(path)
-    per_part = (
-        out.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(
-            F.count("*").alias("rows"),
-            F.min(key).alias("min_key"),
-            F.max(key).alias("max_key"),
-        )
-        .collect()
+    lineage = out.groupBy(F.spark_partition_id().alias("pid")).agg(
+        F.count("*").alias("rows"),
+        F.min(key).alias("min_key"),
+        F.max(key).alias("max_key"),
     )
-    keys = [r[key] for r in out.select(key).distinct().collect()]
+    lineage.write.mode("overwrite").parquet(os.path.join(path, LINEAGE_DIR))
+    out.select(key).distinct().write.mode("overwrite").parquet(
+        os.path.join(path, KEYS_DIR)
+    )
     manifest = {
         "stage": stage,
         "inputs": inputs,
@@ -68,20 +75,18 @@ def write_stage(
         "params_hash": _params_hash(params),
         "written_at": time.time(),
         "row_count": int(out.count()),
-        "completed_keys": sorted(int(k) for k in keys),
-        "partitions": [
-            {
-                "pid": int(r["pid"]),
-                "rows": int(r["rows"]),
-                "min_key": int(r["min_key"]),
-                "max_key": int(r["max_key"]),
-            }
-            for r in per_part
-        ],
+        "n_completed_keys": int(
+            spark.read.parquet(os.path.join(path, KEYS_DIR)).count()
+        ),
+        "n_partitions": int(
+            spark.read.parquet(os.path.join(path, LINEAGE_DIR)).count()
+        ),
+        "keys_table": KEYS_DIR,
+        "lineage_table": LINEAGE_DIR,
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f)
-    open(tmp_marker, "w").close()  # atomic completion point (S11 analog)
+    open(os.path.join(path, SUCCESS), "w").close()  # atomic completion (S11)
     return manifest
 
 
@@ -92,22 +97,31 @@ def load_manifest(path: str) -> dict | None:
         return json.load(f)
 
 
+def completed_keys(spark: SparkSession, path: str) -> DataFrame:
+    """The checkpoint's completed key set as a DataFrame (never collected)."""
+    return spark.read.parquet(os.path.join(path, KEYS_DIR))
+
+
+def lineage(spark: SparkSession, path: str) -> DataFrame:
+    """Per-partition lineage metrics (pid, rows, min_key, max_key)."""
+    return spark.read.parquet(os.path.join(path, LINEAGE_DIR))
+
+
 def pending_keys(
     spark: SparkSession, wanted: DataFrame, path: str, params: dict | None = None,
     key: str = "cell_id",
 ) -> DataFrame:
     """Resume support: which of ``wanted``'s keys still need computing?
 
-    Anti-join against the manifest's completed set; a parameter-hash
-    mismatch invalidates the checkpoint entirely (recompute all).
+    Anti-join against the ``_keys/`` side table — a pure Spark plan, so
+    a 10^9-key checkpoint resumes without the key set ever touching the
+    driver.  A parameter-hash mismatch invalidates the checkpoint
+    entirely (recompute all).
     """
     m = load_manifest(path)
     if m is None or (params is not None and m["params_hash"] != _params_hash(params)):
         return wanted
-    done = spark.createDataFrame(
-        [(int(k),) for k in m["completed_keys"]], f"{key} long"
-    )
-    return wanted.join(done, key, "left_anti")
+    return wanted.join(completed_keys(spark, path), key, "left_anti")
 
 
 def resume_stage(

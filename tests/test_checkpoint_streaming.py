@@ -16,9 +16,15 @@ def test_checkpoint_write_and_resume(spark, tmp_path):
     )
     m = checkpoint.write_stage(df, path, "tin", ["in.parquet"], {"px": 64})
     assert m["row_count"] == 3
-    assert m["completed_keys"] == [1, 2, 3]
-    assert all(p["rows"] >= 1 for p in m["partitions"])
+    assert m["n_completed_keys"] == 3
+    keys = checkpoint.completed_keys(spark, path)
+    assert sorted(r["cell_id"] for r in keys.collect()) == [1, 2, 3]
+    lin = checkpoint.lineage(spark, path)
+    assert all(r["rows"] >= 1 for r in lin.collect())
+    assert m["n_partitions"] == lin.count()
     assert os.path.exists(os.path.join(path, checkpoint.SUCCESS))
+    # the _keys/_lineage side tables must NOT pollute the data read
+    assert set(spark.read.parquet(path).columns) == {"cell_id", "v"}
 
     wanted = spark.createDataFrame(pd.DataFrame({"cell_id": [1, 2, 3, 4, 5]}))
     todo = checkpoint.pending_keys(spark, wanted, path, {"px": 64})
@@ -47,6 +53,24 @@ def test_checkpoint_write_and_resume(spark, tmp_path):
     )
     assert calls == [[4, 5]]
     assert out2.count() == 5
+
+
+def test_checkpoint_resume_scales_without_driver_keys(spark, tmp_path):
+    """10^6-key checkpoint resumes through a pure Spark anti-join plan —
+    the manifest JSON stays O(1) and no key list crosses the driver."""
+    path = str(tmp_path / "big_stage")
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.col("id").alias("cell_id"), (F.col("id") * 2).alias("v")
+    )
+    m = checkpoint.write_stage(df, path, "tin", ["in.parquet"], {"px": 64})
+    assert m["n_completed_keys"] == n
+    assert os.path.getsize(os.path.join(path, checkpoint.MANIFEST)) < 4096
+    wanted = spark.range(n + 10).select(F.col("id").alias("cell_id"))
+    todo = checkpoint.pending_keys(spark, wanted, path, {"px": 64})
+    plan = todo._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan  # resume is a join, not a collected key list
+    assert sorted(r["cell_id"] for r in todo.collect()) == list(range(n, n + 10))
 
 
 def test_streaming_matches_batch(spark, tmp_path):
