@@ -1,0 +1,61 @@
+"""File-format sources: LAS point clouds and shapefiles -> DataFrames.
+
+The reference's inputs are LAZ/LAS point streams (LAS/LasZipNetReader.cs)
+and NLS shapefiles (Shapefile/RasteriserEvenOdd.cs:28).  Here:
+
+- LAS files scan DISTRIBUTED: the path list becomes a one-column table
+  and each task parses its files with the vectorized numpy reader
+  (gridlib/las.py) inside ``mapInPandas`` — at 100 TB the tile->file
+  mapping shards across executors and no point ever touches the driver.
+- Shapefiles are dimension-sized (the largest NLS fixture is ~2 MB /
+  7k features), so one driver-side parse feeding a broadcast-able
+  DataFrame is the right physical plan; for many files, parse inside
+  ``mapInPandas`` over a path table exactly like LAS.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..gridlib.las import read_las_file
+from ..gridlib.shp import read_shapefile
+from .points import POINTS_SCHEMA
+
+FEATURE_SCHEMA = "feature_id long, geom_wkb binary, luokka long, seq long"
+
+
+def read_las_points(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """LAS files -> points(x, y, z, cls), one scan task per file."""
+    path_df = spark.createDataFrame([(p,) for p in paths], "path string")
+    path_df = path_df.repartition(max(1, min(len(paths), 256)))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p in pdf["path"]:
+                _h, x, y, z, cls = read_las_file(p)
+                yield pd.DataFrame(
+                    {"x": x, "y": y, "z": z, "cls": cls.astype("int8")}
+                )
+
+    return path_df.mapInPandas(run, POINTS_SCHEMA)
+
+
+def read_shapefile_features(
+    spark: SparkSession, path: str, seq_offset: int = 0
+) -> DataFrame:
+    """One shapefile -> features(feature_id, geom_wkb, luokka, seq).
+
+    ``seq_offset`` shifts the scan-order ranks so several files keep the
+    reference's file-by-file overlay order (RasteriserEvenOdd.Tests.cs:
+    45-46 sorts filenames because overlap order matters)."""
+    pdf = read_shapefile(path)
+    if seq_offset:
+        pdf = pdf.assign(seq=pdf["seq"] + seq_offset)
+    rows = [
+        (int(r.feature_id), bytes(r.geom_wkb), int(r.luokka), int(r.seq))
+        for r in pdf.itertuples()
+    ]
+    return spark.createDataFrame(rows, FEATURE_SCHEMA)

@@ -10,11 +10,12 @@ the apples-to-apples "matches-or-beats the reference's single-node
 throughput at the same data scale" number — then the Spark path over the
 same features at px=12000.
 
-Feature counts/geometry are synthesized deterministically at the fixture
-scale (we cannot read .shp in this container; FIXTURES.md §2 documents
-the shapes) using the same generator as the test tables.
+With the reference fixture shapefiles present (gridlib/shp.py reads
+them directly), this runs the REAL workload and reports byte parity
+against the committed terraintype.asp; otherwise it falls back to a
+deterministic synthetic feature set at the same scale (FIXTURES.md §2).
 
-Output: one JSON line with cells/sec + features/sec.
+Output: one JSON line with cells/sec + features/sec (+ parity).
 """
 
 from __future__ import annotations
@@ -40,21 +41,55 @@ def main() -> None:
     minx, miny, maxx, maxy = tile_decode("L4133L")
     assert (maxx - minx) == 12000 and (maxy - miny) == 12000
 
-    # fixture-scale feature set: 2,044 polygons + 5,052 lines over the tile
-    pdf, ldf, _edf = datagen.gen_features(["L4133L"], n_polygons=2044, n_lines=5052)
-    feats = [
-        (int(s), int(l), bytes(g))
-        for s, l, g in zip(pdf["seq"], pdf["luokka"], pdf["geom_wkb"])
-    ] + [
-        (int(s), int(l), bytes(g))
-        for s, l, g in zip(ldf["seq"], ldf["luokka"], ldf["geom_wkb"])
-    ]
-    classmap = {**topodb.ALL_POLYGON, **topodb.ALL_LINE}
+    fixture_dir = (
+        "/root/reference/LasUtility.Tests/TestFiles/RasteriserEvenOdd/"
+        "AddShapefileAndSave/Input"
+    )
+    parity = None
+    if os.path.isdir(fixture_dir):
+        # the real thing: reference shapefiles + the test's class maps
+        import pandas as pd
+
+        from lasutility_spark.gridlib.shp import read_shapefile
+
+        p = read_shapefile(os.path.join(fixture_dir, "m_L4133L_p.shp"))
+        v = read_shapefile(os.path.join(fixture_dir, "m_L4133L_v.shp"))
+        v = v.assign(seq=v["seq"] + len(p))
+        allf = pd.concat([p, v])
+        feats = [
+            (int(s), int(l), bytes(g))
+            for s, l, g in zip(allf["seq"], allf["luokka"], allf["geom_wkb"])
+        ]
+        classmap = {
+            **topodb.WATER_POLYGON, **topodb.WATER_LINE,
+            **topodb.SWAMP_POLYGON, **topodb.FIELD_POLYGON,
+            **topodb.ROCK_POLYGON, **topodb.SAND_POLYGON,
+        }
+    else:
+        # fixture-scale synthetic stand-in: 2,044 polygons + 5,052 lines
+        pdf, ldf, _edf = datagen.gen_features(
+            ["L4133L"], n_polygons=2044, n_lines=5052
+        )
+        feats = [
+            (int(s), int(l), bytes(g))
+            for s, l, g in zip(pdf["seq"], pdf["luokka"], pdf["geom_wkb"])
+        ] + [
+            (int(s), int(l), bytes(g))
+            for s, l, g in zip(ldf["seq"], ldf["luokka"], ldf["geom_wkb"])
+        ]
+        classmap = {**topodb.ALL_POLYGON, **topodb.ALL_LINE}
     cell = int(cid(np.array([minx]), np.array([miny]), 12000)[0])
 
     t0 = time.time()
     out = pip_stage._rasterize_tile(cell, 12000, 12000, feats, classmap)
     dt = time.time() - t0
+    if os.path.isdir(fixture_dir):
+        from lasutility_spark.gridlib import asc
+        from lasutility_spark.gridlib.png import png_decode
+
+        with open(os.path.join(fixture_dir, "terraintype.asp")) as f:
+            ref, _bounds = asc.ascii_to_byte_raster(f.read(), compressed=True)
+        parity = bool((png_decode(bytes(out["bytes"])) == ref).all())
     cells = 12000 * 12000
     print(
         json.dumps(
@@ -67,6 +102,7 @@ def main() -> None:
                 "n_features": len(feats),
                 "features_per_sec": round(len(feats) / dt, 1),
                 "painted_cells": out["painted_cells"],
+                "byte_parity_vs_terraintype_asp": parity,
                 "reference_shape": "RasteriserEvenOdd.Tests.cs:19-80 "
                 "(12000^2 raster, 2044 polygons + 5052 lines, 1 thread)",
             }

@@ -1,0 +1,143 @@
+"""Real file-format IO: LAS reader/writer + shapefile reader, including
+byte parity of the full reference fixture rasterization
+(RasteriserEvenOdd.Tests.cs AddShapefileAndSave -> terraintype.asp)."""
+
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lasutility_spark.engine import pip_stage
+from lasutility_spark.gridlib import asc, topodb
+from lasutility_spark.gridlib.las import read_las, read_las_file, write_las
+from lasutility_spark.gridlib.shp import read_dbf_column, read_shapefile
+from lasutility_spark.gridlib import wkb
+from lasutility_spark.gridlib.tilenamer import cell_id as cid, tile_decode
+
+FIXTURE_DIR = (
+    "/root/reference/LasUtility.Tests/TestFiles/RasteriserEvenOdd/"
+    "AddShapefileAndSave/Input"
+)
+needs_fixture = pytest.mark.skipif(
+    not os.path.isdir(FIXTURE_DIR), reason="reference fixtures not present"
+)
+
+
+def test_las_roundtrip(tmp_path):
+    rng = np.random.default_rng(7)
+    n = 10_000
+    x = 380000 + rng.random(n) * 3000
+    y = 6666000 + rng.random(n) * 3000
+    z = rng.random(n) * 300
+    cls = rng.integers(0, 16, n).astype(np.uint8)
+    data = write_las(x, y, z, cls)
+    h, rx, ry, rz, rcls = read_las(data)
+    assert h["version"] == (1, 2)
+    assert h["point_count"] == n == h["legacy_count"]
+    # scale 0.001 => round-trip within half an LSB
+    assert np.abs(rx - x).max() < 5.1e-4
+    assert np.abs(ry - y).max() < 5.1e-4
+    assert np.abs(rz - z).max() < 5.1e-4
+    assert (rcls == cls).all()
+    # header extent matches the data (ILasFileReader Min/Max surface)
+    assert h["minx"] == pytest.approx(x.min())
+    assert h["maxy"] == pytest.approx(y.max())
+    p = tmp_path / "pts.las"
+    p.write_bytes(data)
+    h2, fx, _, _, _ = read_las_file(str(p))
+    assert h2 == h and (fx == rx).all()
+
+
+def test_las_count_is_max_of_legacy_and_extended():
+    """LAS 1.4 files with zeroed legacy counts must still stream every
+    point: count = max(legacy, extended) (LasZipNetReader.cs:73)."""
+    n = 57
+    core = write_las(
+        np.arange(n) + 0.5, np.arange(n) + 1.5, np.arange(n) * 0.25,
+        np.full(n, 2, np.uint8),
+    )
+    h12 = read_las(core)[0]
+    points = core[h12["offset_to_points"]:]
+    hdr = bytearray(375)
+    hdr[: h12["header_size"]] = core[: h12["header_size"]]
+    hdr[25] = 4  # version 1.4
+    struct.pack_into("<HI", hdr, 94, 375, 375)
+    struct.pack_into("<I", hdr, 107, 0)  # legacy count zeroed
+    struct.pack_into("<Q", hdr, 247, n)  # extended 64-bit count
+    h, x, _, _, _ = read_las(bytes(hdr) + points)
+    assert h["legacy_count"] == 0 and h["extended_count"] == n
+    assert h["point_count"] == n and len(x) == n
+    assert x[0] == pytest.approx(0.5, abs=1e-3)
+
+
+def test_las_spark_scan_matches_numpy(spark, tmp_path):
+    from lasutility_spark.engine.sources import read_las_points
+
+    rng = np.random.default_rng(3)
+    paths = []
+    want_n = 0
+    for i in range(3):
+        n = 1000 + 17 * i
+        data = write_las(
+            380000 + rng.random(n) * 1000, 6666000 + rng.random(n) * 1000,
+            rng.random(n) * 100, np.full(n, 2 + i % 3, np.uint8),
+        )
+        p = tmp_path / f"f{i}.las"
+        p.write_bytes(data)
+        paths.append(str(p))
+        want_n += n
+    df = read_las_points(spark, paths)
+    assert df.count() == want_n
+    got_cls = {r["cls"] for r in df.select("cls").distinct().collect()}
+    assert got_cls == {2, 3, 4}
+
+
+@needs_fixture
+def test_shapefile_fixture_scan():
+    p = read_shapefile(os.path.join(FIXTURE_DIR, "m_L4133L_p.shp"))
+    v = read_shapefile(os.path.join(FIXTURE_DIR, "m_L4133L_v.shp"))
+    assert len(p) == 2044 and len(v) == 5052  # reference fixture counts
+    assert p["seq"].tolist() == list(range(2044))  # strict file order
+    kinds = {wkb.decode(bytes(g)).kind for g in p["geom_wkb"]}
+    assert kinds <= {"Polygon", "MultiPolygon"}
+    # some fixture polygons are holed — the V6 two-pass path is exercised
+    assert any(
+        len(wkb.decode(bytes(g)).parts) > 1
+        for g in p["geom_wkb"]
+        if wkb.decode(bytes(g)).kind == "Polygon"
+    )
+    luokka = read_dbf_column(os.path.join(FIXTURE_DIR, "m_L4133L_p.dbf"), "LUOKKA")
+    assert p["luokka"].tolist() == [int(x) for x in luokka]
+
+
+@needs_fixture
+def test_shapefile_rasterize_matches_reference_output():
+    """The strongest parity gate: engine kernel over the REAL fixture
+    shapefiles reproduces the reference's committed terraintype.asp
+    bit-for-bit (all 144M cells of the 12000^2 L4133L raster)."""
+    p = read_shapefile(os.path.join(FIXTURE_DIR, "m_L4133L_p.shp"))
+    v = read_shapefile(os.path.join(FIXTURE_DIR, "m_L4133L_v.shp"))
+    v = v.assign(seq=v["seq"] + len(p))  # files sorted: polygons first
+    allf = pd.concat([p, v])
+    feats = [
+        (int(s), int(l), bytes(g))
+        for s, l, g in zip(allf["seq"], allf["luokka"], allf["geom_wkb"])
+    ]
+    classmap = {
+        **topodb.WATER_POLYGON, **topodb.WATER_LINE, **topodb.SWAMP_POLYGON,
+        **topodb.FIELD_POLYGON, **topodb.ROCK_POLYGON, **topodb.SAND_POLYGON,
+    }  # RasteriserEvenOdd.Tests.cs:66-71
+    minx, miny, _, _ = tile_decode("L4133L")
+    cell = int(cid(np.array([minx]), np.array([miny]), 12000)[0])
+    out = pip_stage._rasterize_tile(cell, 12000, 12000, feats, classmap)
+
+    from lasutility_spark.gridlib.png import png_decode
+
+    mine = png_decode(bytes(out["bytes"]))
+    with open(os.path.join(FIXTURE_DIR, "terraintype.asp")) as f:
+        ref, bounds = asc.ascii_to_byte_raster(f.read(), compressed=True)
+    assert bounds.rows == 12000 and bounds.cols == 12000
+    assert mine.shape == ref.shape
+    assert (mine == ref).all()  # bit-for-bit, 144M cells
