@@ -66,21 +66,29 @@ def run_once() -> dict:
     n_tiles = images.count()
 
     timings: dict[str, float] = {}
+    windows: dict[str, list] = {}
     extras: dict[str, float] = {}
 
     def timed(key, thunk, action=lambda df: df.count()):
         """time a query; in warm mode run once untimed then keep the best
         of two timed runs — JVM JIT + python-worker spawn amortize away on
-        a real long-lived cluster, and min-of-2 damps host noise."""
+        a real long-lived cluster, and min-of-2 damps host noise.  Every
+        timed attempt's absolute [start, end] is recorded so a parent
+        process can compute the true concurrent window across shard
+        processes (scaling runs)."""
         if warm:
             action(thunk())
         t0 = time.time()
         n = action(thunk())
-        timings[key] = time.time() - t0
+        t1 = time.time()
+        timings[key] = t1 - t0
+        windows[key] = [[t0, t1]]
         if warm:
             t0 = time.time()
             action(thunk())
-            timings[key] = min(timings[key], time.time() - t0)
+            t1 = time.time()
+            timings[key] = min(timings[key], t1 - t0)
+            windows[key].append([t0, t1])
         return n
 
     # --- q1: TIN rasterization (tiles/sec headline) ----------------------
@@ -143,6 +151,8 @@ def run_once() -> dict:
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "windows": {k: [[round(a, 3), round(b, 3)] for a, b in v]
+                    for k, v in windows.items()},
         "sf": sf,
         "cpus": CPUS,
         **{k: round(float(v), 3) for k, v in extras.items()},
@@ -170,19 +180,23 @@ def run_scaling() -> None:
 
     The north rule's criterion is throughput scaling efficiency >= 0.8
     from N to 4N *executors*.  The sandbox is one (shared, noisy) VM, so
-    we evidence it two ways on the same deterministic input, and run the
-    whole cycle twice taking the best steady-state throughput per
-    configuration (noisy-neighbor damping):
+    we evidence it two ways on the same deterministic input:
 
     1. **executor scaling (the faithful shape)** — 1x local[8] JVM over
        the full input vs 4 concurrent local[8] JVMs each owning a
        deterministic 1/4 shard (crc32(caption) % 4).  Each JVM has its
        own python-worker pool, exactly like adding executor processes on
-       a cluster; aggregate throughput = total work / slowest shard.
+       a cluster.
     2. **thread scaling (conservative lower bound)** — local[8] vs
-       local[32] in ONE JVM, which shares one GC and one memory bus
-       across all workers (pure-multiprocessing ceiling on this host:
-       ~0.81, set by all-core turbo clocks).
+       local[32] in ONE JVM (one GC, one memory bus).
+
+    Methodology (per round-1 review): every timed query records absolute
+    [start, end] stamps; the 4-executor aggregate = total work / the
+    TRUE concurrent window (first shard's start -> last shard's end of
+    the final timed attempt), so unsynchronized warm-ups cannot inflate
+    it.  Efficiencies are computed WITHIN one cycle (no cross-run
+    maxima); every cycle is reported, the primary table is the best
+    cycle by aggregate throughput.
     """
     scaling_tiles = os.environ.get("SPARK_GRAFT_SCALING_TILES", "16384")
     cycles = int(os.environ.get("SPARK_GRAFT_SCALING_CYCLES", "2"))
@@ -193,9 +207,16 @@ def run_scaling() -> None:
         SPARK_GRAFT_BENCH_WARM="1",
     )
 
-    best8 = best32 = None
-    best_shards = None
-    first8 = first32 = None
+    METRICS = (
+        ("tiles_per_sec", "q1_tin_rasterize", "n_tiles"),
+        ("pip_points_per_sec", "q2_pip_join", "n_points"),
+    )
+
+    def last_rate(r, qk, nk):
+        t0, t1 = r["windows"][qk][-1]
+        return r[nk] / (t1 - t0)
+
+    runs = []
     for cycle in range(cycles):
         headline = {"SPARK_GRAFT_HEADLINE": "1"} if cycle > 0 else {}
         r8 = _last_json(_bench_subprocess(
@@ -211,99 +232,105 @@ def run_scaling() -> None:
         shards = [_last_json(p) for p in shard_procs]
         r32 = _last_json(_bench_subprocess(
             dict(base_env, SPARK_GRAFT_CPUS=32, **headline), "c32"))
+        runs.append((r8, shards, r32))
 
-        if cycle == 0:
-            first8, first32 = r8, r32
-        if best8 is None or r8["tiles_per_sec"] > best8["tiles_per_sec"]:
-            best8 = r8
-        if best32 is None or r32["tiles_per_sec"] > best32["tiles_per_sec"]:
-            best32 = r32
-        agg = sum(s["n_tiles"] for s in shards) / max(
-            s["queries"]["q1_tin_rasterize"] for s in shards
-        )
-        if best_shards is None or agg > best_shards[0]:
-            best_shards = (agg, shards)
-    shards = best_shards[1]
-    r8 = dict(first8)   # keep full per-query table from cycle 0
-    r32 = dict(first32)
-    for key in ("tiles_per_sec", "pip_points_per_sec"):
-        r8[key] = max(first8[key], best8[key])
-        r32[key] = max(first32[key], best32[key])
+    per_cycle = []
+    for r8, shards, r32 in runs:
+        row = {}
+        for key, qk, nk in METRICS:
+            n1 = last_rate(r8, qk, nk)
+            t0 = min(s["windows"][qk][-1][0] for s in shards)
+            t1 = max(s["windows"][qk][-1][1] for s in shards)
+            agg4 = sum(s[nk] for s in shards) / (t1 - t0)
+            n32 = last_rate(r32, qk, nk)
+            row[key] = {
+                "n1": n1, "agg4": agg4, "n32": n32,
+                "eff_exec": agg4 / (4.0 * n1),
+                "eff_threads": n32 / (4.0 * n1),
+            }
+        per_cycle.append(row)
 
-    eff_threads = {
-        key: r32[key] / (4.0 * r8[key])
-        for key in ("tiles_per_sec", "pip_points_per_sec")
-    }
-    # aggregate 4-executor throughput: total work / slowest shard wall
-    exec4 = {}
-    for key, qk, nk in (
-        ("tiles_per_sec", "q1_tin_rasterize", "n_tiles"),
-        ("pip_points_per_sec", "q2_pip_join", "n_points"),
-    ):
-        total_work = sum(s[nk] for s in shards)
-        slowest = max(s["queries"][qk] for s in shards)
-        exec4[key] = total_work / slowest
-    eff_exec = {
-        key: exec4[key] / (4.0 * r8[key])
-        for key in ("tiles_per_sec", "pip_points_per_sec")
-    }
-
+    best_i = max(
+        range(len(per_cycle)),
+        key=lambda i: per_cycle[i]["tiles_per_sec"]["agg4"],
+    )
+    best = per_cycle[best_i]
+    r8, shards, r32 = runs[best_i]
+    r8q = runs[0][0]["queries"]
+    r32q = runs[0][2]["queries"]
     qeff = {
-        k: r8["queries"][k] / (4.0 * r32["queries"][k])
-        for k in r32["queries"]
-        if k in r8["queries"]
+        k: r8q[k] / (4.0 * r32q[k]) for k in r32q if k in r8q
     }
 
     lines = [
         "# BENCH — measured baseline + scaling evidence",
         "",
         f"Input: `{SF_DIR}` (sf={r8['sf']}), synthetic image table: "
-        f"{int(r8['n_tiles'])} tiles x 128x128 px, {int(r8['n_points'])} PIP points.",
+        f"{int(sum(s['n_tiles'] for s in shards))} tiles x 128x128 px, "
+        f"{int(sum(s['n_points'] for s in shards))} PIP points.",
         "Same deterministic input at every cluster size; outputs are",
         "bit-identical across partition counts (tests/test_engine_spark.py).",
-        f"Steady-state timing: warm-up then best-of-2 per query, whole cycle",
-        f"run {cycles}x taking the best per configuration (the host is a",
-        "shared VM with ~30% run-to-run noise).",
+        "",
+        "Methodology: warm-up + two timed attempts per query, absolute",
+        "[start, end] stamps recorded per attempt.  The 4-executor",
+        "aggregate divides total work by the TRUE concurrent window",
+        "(first shard start -> last shard end of the final attempt), and",
+        "every efficiency pairs numbers from the SAME cycle — no",
+        f"cross-run maxima.  {cycles} full cycle(s); the table below is the",
+        f"best cycle (#{best_i}), all cycles follow.",
         "",
         "## Executor scaling (north-rule shape: N -> 4N executors)",
         "",
         "1x local[8] JVM (full input) vs 4 concurrent local[8] JVMs, each",
         "owning a deterministic 1/4 shard — separate JVMs + python-worker",
-        "pools, exactly how a cluster adds executors.  Aggregate 4N",
-        "throughput = total work / slowest shard.",
+        "pools, exactly how a cluster adds executors.",
         "",
-        "| metric | 1 executor (N) | 4 executors (4N) | efficiency 4N/(4xN) |",
+        "| metric | 1 executor (N) | 4 executors (4N, coherent window) | efficiency 4N/(4xN) |",
         "|---|---|---|---|",
-        f"| TIN rasterization (tiles/sec) | {r8['tiles_per_sec']:.0f} | "
-        f"{exec4['tiles_per_sec']:.0f} | **{eff_exec['tiles_per_sec']:.2f}** |",
-        f"| PIP classification (points/sec) | {r8['pip_points_per_sec']:.0f} | "
-        f"{exec4['pip_points_per_sec']:.0f} | **{eff_exec['pip_points_per_sec']:.2f}** |",
+        f"| TIN rasterization (tiles/sec) | {best['tiles_per_sec']['n1']:.0f} | "
+        f"{best['tiles_per_sec']['agg4']:.0f} | **{best['tiles_per_sec']['eff_exec']:.2f}** |",
+        f"| PIP classification (points/sec) | {best['pip_points_per_sec']['n1']:.0f} | "
+        f"{best['pip_points_per_sec']['agg4']:.0f} | **{best['pip_points_per_sec']['eff_exec']:.2f}** |",
         "",
         "## Thread scaling (conservative lower bound: local[8] -> local[32])",
         "",
         "One JVM widened 8 -> 32 task threads.  Shares one GC/memory bus;",
         "the host's own all-core ceiling (pure multiprocessing, zero Spark)",
-        "is 0.81 because all-core turbo lowers the per-core clock —",
-        "single-host scaling of ANY kind cannot exceed that ceiling; on a",
-        "real cluster 4N executors bring 4x memory buses and full clocks.",
+        "is ~0.86 on the real kernel because all-core turbo lowers the",
+        "per-core clock; on a real cluster 4N executors bring 4x memory",
+        "buses and full clocks.",
         "",
         "| metric | local[8] (N) | local[32] (4N) | efficiency 4N/(4xN) |",
         "|---|---|---|---|",
-        f"| TIN rasterization (tiles/sec) | {r8['tiles_per_sec']:.0f} | "
-        f"{r32['tiles_per_sec']:.0f} | **{eff_threads['tiles_per_sec']:.2f}** |",
-        f"| PIP classification (points/sec) | {r8['pip_points_per_sec']:.0f} | "
-        f"{r32['pip_points_per_sec']:.0f} | **{eff_threads['pip_points_per_sec']:.2f}** |",
+        f"| TIN rasterization (tiles/sec) | {best['tiles_per_sec']['n1']:.0f} | "
+        f"{best['tiles_per_sec']['n32']:.0f} | **{best['tiles_per_sec']['eff_threads']:.2f}** |",
+        f"| PIP classification (points/sec) | {best['pip_points_per_sec']['n1']:.0f} | "
+        f"{best['pip_points_per_sec']['n32']:.0f} | **{best['pip_points_per_sec']['eff_threads']:.2f}** |",
         "",
-        "Per-query wall seconds (cycle-0 thread-scaling runs):",
+        "## All cycles (coherent, same-cycle pairs)",
+        "",
+        "| cycle | q1 eff-exec | q2 eff-exec | q1 eff-threads | q2 eff-threads |",
+        "|---|---|---|---|---|",
+    ]
+    for i, row in enumerate(per_cycle):
+        mark = " (best)" if i == best_i else ""
+        lines.append(
+            f"| {i}{mark} | {row['tiles_per_sec']['eff_exec']:.2f} | "
+            f"{row['pip_points_per_sec']['eff_exec']:.2f} | "
+            f"{row['tiles_per_sec']['eff_threads']:.2f} | "
+            f"{row['pip_points_per_sec']['eff_threads']:.2f} |"
+        )
+    lines += [
+        "",
+        "Per-query wall seconds (cycle-0 thread-scaling runs, best-of-2):",
         "",
         "| query | local[8] | local[32] | speedup-eff |",
         "|---|---|---|---|",
     ]
-    for k in r8["queries"]:
-        if k in r32["queries"]:
+    for k in r8q:
+        if k in r32q:
             lines.append(
-                f"| {k} | {r8['queries'][k]:.2f} | {r32['queries'][k]:.2f} | "
-                f"{qeff[k]:.2f} |"
+                f"| {k} | {r8q[k]:.2f} | {r32q[k]:.2f} | {qeff[k]:.2f} |"
             )
     # host-ceiling + reference-anchor context, if measured
     extra_ctx = []
@@ -327,9 +354,10 @@ def run_scaling() -> None:
             "ceiling).  On a real cluster, 4N executors bring 4x buses",
             "and unchanged clocks, so neither ceiling applies — the",
             "efficiency criterion is expected to clear 0.8 there.",
-            "scripts/ref_anchor.py reproduces the reference's largest",
-            "fixture (12000^2 cells, 7k features) single-threaded:",
-            "~12 s / 12.1M cells/s on this engine's kernel.",
+            "scripts/ref_anchor.py reproduces the reference's own largest",
+            "fixture workload (12000^2 cells, the real m_L4133L",
+            "shapefiles) single-threaded with bit-for-bit output parity",
+            "against the committed terraintype.asp.",
         ]
     lines += extra_ctx
     lines += [
@@ -342,7 +370,7 @@ def run_scaling() -> None:
         "engine: on a real cluster the shuffle bisection bandwidth grows",
         "with executor count.",
         "",
-        "Raw JSON:",
+        "Raw JSON (cycle %d shown; all timed attempts carry windows):" % best_i,
         "```json",
         json.dumps(r8),
         json.dumps(r32),
@@ -352,8 +380,19 @@ def run_scaling() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps({"efficiency_executors": eff_exec,
-                      "efficiency_threads": eff_threads}))
+    print(json.dumps({
+        "best_cycle": best_i,
+        "efficiency_executors": {
+            k: round(best[k]["eff_exec"], 3) for k, _q, _n in METRICS
+        },
+        "efficiency_threads": {
+            k: round(best[k]["eff_threads"], 3) for k, _q, _n in METRICS
+        },
+        "per_cycle": [
+            {k: {m: round(v, 3) for m, v in row[k].items()} for k in row}
+            for row in per_cycle
+        ],
+    }))
 
 
 if __name__ == "__main__":
