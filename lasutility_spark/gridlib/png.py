@@ -49,8 +49,30 @@ def png_encode(img: np.ndarray) -> bytes:
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+def png_encode_rgb8_mirrored(raster: np.ndarray) -> bytes:
+    """S9 ByteRaster.WriteAsPng analog (Common/ByteRaster.cs:124-153):
+    the byte raster's rows are MIRRORED (row 0 = southernmost goes to
+    the image bottom) and the value is replicated onto all 3 channels
+    (the reference writes an OpenCV 8UC3 BGR Mat).  Decoded pixels are
+    identical to the reference's output; the container is this codec's
+    deterministic encoder (filter 0, fixed zlib level) since byte-stream
+    equality would require OpenCV's exact zlib/filter choices."""
+    raster = np.asarray(raster, dtype=np.uint8)
+    if raster.ndim != 2:
+        raise ValueError("expected 2-D byte raster")
+    rgb = np.repeat(np.flipud(raster)[:, :, None], 3, axis=2)
+    h, w = raster.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # color type 2 (RGB)
+    body = b"".join(
+        b"\x00" + np.ascontiguousarray(rgb[r]).tobytes() for r in range(h)
+    )
+    idat = zlib.compress(body, 6)
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
 def png_decode(data: bytes) -> np.ndarray:
-    """Grayscale PNG bytes -> 2-D uint8/uint16 array (filters 0-4)."""
+    """PNG bytes -> array: grayscale 8/16-bit -> (h, w); RGB 8-bit ->
+    (h, w, 3) (filters 0-4, non-interlaced)."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -63,9 +85,9 @@ def png_decode(data: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", payload)
-            if ctype != 0 or comp != 0 or filt != 0 or inter != 0:
-                raise ValueError("only non-interlaced grayscale supported")
-            if depth not in (8, 16):
+            if ctype not in (0, 2) or comp != 0 or filt != 0 or inter != 0:
+                raise ValueError("only non-interlaced grayscale/RGB supported")
+            if depth not in (8, 16) or (ctype == 2 and depth != 8):
                 raise ValueError(f"unsupported bit depth {depth}")
         elif tag == b"IDAT":
             idat += payload
@@ -73,7 +95,8 @@ def png_decode(data: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("missing IHDR")
-    bpp = depth // 8
+    channels = 3 if ctype == 2 else 1
+    bpp = channels * depth // 8
     stride = w * bpp
     raw = zlib.decompress(idat)
     out = np.empty((h, stride), dtype=np.uint8)
@@ -107,6 +130,8 @@ def png_decode(data: bytes) -> np.ndarray:
             raise ValueError(f"bad filter {ftype}")
         out[r] = line
         prev = line
+    if ctype == 2:
+        return out.reshape(h, w, 3)
     if depth == 8:
         return out.reshape(h, w)
     return out.reshape(h, w, 2).astype(np.uint16)[:, :, 0] * 256 + out.reshape(

@@ -142,3 +142,18 @@ def test_ensure_images_table(tmp_path):
     assert p.num_rows >= 40
     g = decode(p.column("geom_wkb")[0].as_py())
     assert g.kind == "Polygon"
+
+
+def test_png_rgb8_mirrored_sink():
+    """S9 WriteAsPng analog: mirrored rows, value on all 3 channels
+    (ByteRaster.cs:124-153)."""
+    from lasutility_spark.gridlib.png import png_decode, png_encode_rgb8_mirrored
+
+    r = np.zeros((4, 3), dtype=np.uint8)
+    r[0, 0] = 7   # southwest corner -> image bottom-left
+    r[3, 2] = 99  # northeast corner -> image top-right
+    img = png_decode(png_encode_rgb8_mirrored(r))
+    assert img.shape == (4, 3, 3)
+    assert tuple(img[3, 0]) == (7, 7, 7)
+    assert tuple(img[0, 2]) == (99, 99, 99)
+    assert img.sum() == 3 * (7 + 99)
