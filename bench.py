@@ -69,6 +69,25 @@ def run_once() -> dict:
     windows: dict[str, list] = {}
     extras: dict[str, float] = {}
 
+    def barrier(key: str) -> None:
+        """Scaling runs: align all shard processes before the final timed
+        attempt, so the coherent window measures genuinely concurrent
+        execution (idle wait happens BEFORE the timing starts)."""
+        bdir = os.environ.get("SPARK_GRAFT_BARRIER_DIR")
+        if not bdir or not shard:
+            return
+        k, m = (int(v) for v in shard.split(":"))
+        open(os.path.join(bdir, f"{key}.{k}"), "w").close()
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if all(
+                os.path.exists(os.path.join(bdir, f"{key}.{i}"))
+                for i in range(m)
+            ):
+                return
+            time.sleep(0.05)
+        raise TimeoutError(f"barrier {key}: peers missing after 600s")
+
     def timed(key, thunk, action=lambda df: df.count()):
         """time a query; in warm mode run once untimed then keep the best
         of two timed runs — JVM JIT + python-worker spawn amortize away on
@@ -84,6 +103,7 @@ def run_once() -> dict:
         timings[key] = t1 - t0
         windows[key] = [[t0, t1]]
         if warm:
+            barrier(key)
             t0 = time.time()
             action(thunk())
             t1 = time.time()
@@ -221,10 +241,14 @@ def run_scaling() -> None:
         headline = {"SPARK_GRAFT_HEADLINE": "1"} if cycle > 0 else {}
         r8 = _last_json(_bench_subprocess(
             dict(base_env, SPARK_GRAFT_CPUS=8, **headline), "c8"))
+        import tempfile
+
+        bdir = tempfile.mkdtemp(prefix="bench_barrier_")
         shard_procs = [
             _bench_subprocess(
                 dict(base_env, SPARK_GRAFT_CPUS=8, SPARK_GRAFT_HEADLINE="1",
-                     SPARK_GRAFT_SHARD=f"{k}:4"),
+                     SPARK_GRAFT_SHARD=f"{k}:4",
+                     SPARK_GRAFT_BARRIER_DIR=bdir),
                 f"shard{k}",
             )
             for k in range(4)
@@ -272,7 +296,8 @@ def run_scaling() -> None:
         "bit-identical across partition counts (tests/test_engine_spark.py).",
         "",
         "Methodology: warm-up + two timed attempts per query, absolute",
-        "[start, end] stamps recorded per attempt.  The 4-executor",
+        "[start, end] stamps recorded per attempt; all 4 shards align on",
+        "a file barrier BEFORE each final timed attempt.  The 4-executor",
         "aggregate divides total work by the TRUE concurrent window",
         "(first shard start -> last shard end of the final attempt), and",
         "every efficiency pairs numbers from the SAME cycle — no",
