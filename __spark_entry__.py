@@ -342,7 +342,10 @@ def _feature_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
     step), counted per feature; envelopes via the real WKB-decode UDF."""
     images_dir = datagen.ensure_images_table(_FIXTURE_SF)
     feats = spark.read.parquet(f"{images_dir}/polygons.parquet")
-    covers = pip_stage.explode_feature_covers(feats)
+    # force the WKB-decode envelope path: the oracle compares against the
+    # raw-vertex envelopes stored at datagen time, so decoding here keeps
+    # the two sides independent
+    covers = pip_stage.explode_feature_covers(feats, use_stored_envelopes=False)
     return covers.groupBy("seq", "luokka").agg(
         F.count("*").alias("n_cover_cells")
     )

@@ -56,12 +56,29 @@ def run_once() -> dict:
     warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") == "1"
     headline_only = os.environ.get("SPARK_GRAFT_HEADLINE") == "1"
     images = epoints.read_images(spark, images_dir)
-    # shard mode ("k:m"): this process is executor k of m — it owns the
-    # deterministic 1/m slice of the tile table (executor-scaling runs)
+    # shard mode ("k:m"): this process is executor k of m — it owns a
+    # deterministic CONTIGUOUS tile-row strip (the north rule's
+    # repartitionByRange-on-cell-ids layout).  Spatial strips mean (a)
+    # the images scan prunes to the shard's row groups via the miny
+    # column's min/max stats, and (b) the feature side prunes by
+    # envelope overlap with the strip — per-shard work actually shrinks
+    # with 1/m, like executors on a range-partitioned cluster table.
     shard = os.environ.get("SPARK_GRAFT_SHARD")
+    strip = None
     if shard:
+        import math
+
         k, m = (int(v) for v in shard.split(":"))
-        images = images.filter(F.crc32(F.col("caption")) % m == k)
+        n_total = int(n_override) if n_override else datagen.SF_TILES.get(sf, 9)
+        krows = math.ceil(math.sqrt(n_total))
+        lo, hi = k * krows // m, (k + 1) * krows // m
+        strip = (
+            datagen.ANCHOR_N + lo * datagen.TILE_M,
+            datagen.ANCHOR_N + hi * datagen.TILE_M,
+        )
+        images = images.filter(
+            (F.col("miny") >= strip[0]) & (F.col("miny") < strip[1])
+        )
     images = images.cache()
     n_tiles = images.count()
 
@@ -140,6 +157,12 @@ def run_once() -> dict:
     feats = spark.read.parquet(f"{images_dir}/polygons.parquet").union(
         spark.read.parquet(f"{images_dir}/lines.parquet")
     )
+    if strip is not None:
+        # a shard only needs features whose envelope can touch its strip
+        # — a parquet-pushed range predicate on the stored bbox columns
+        feats = feats.filter(
+            (F.col("maxy") >= strip[0]) & (F.col("miny") < strip[1])
+        )
     classmap = {**topodb.ALL_POLYGON, **topodb.ALL_LINE}
 
     # fused tile-level PIP: feature rasterization + per-tile point decode
@@ -204,9 +227,10 @@ def run_scaling() -> None:
 
     1. **executor scaling (the faithful shape)** — 1x local[8] JVM over
        the full input vs 4 concurrent local[8] JVMs each owning a
-       deterministic 1/4 shard (crc32(caption) % 4).  Each JVM has its
-       own python-worker pool, exactly like adding executor processes on
-       a cluster.
+       deterministic contiguous tile-row strip (repartitionByRange on
+       cell ids, the north rule's layout).  Each JVM has its own
+       python-worker pool, exactly like adding executor processes on a
+       cluster, and each shard's scans prune to its strip.
     2. **thread scaling (conservative lower bound)** — local[8] vs
        local[32] in ONE JVM (one GC, one memory bus).
 
@@ -307,8 +331,9 @@ def run_scaling() -> None:
         "## Executor scaling (north-rule shape: N -> 4N executors)",
         "",
         "1x local[8] JVM (full input) vs 4 concurrent local[8] JVMs, each",
-        "owning a deterministic 1/4 shard — separate JVMs + python-worker",
-        "pools, exactly how a cluster adds executors.",
+        "owning a contiguous tile-row strip (range partitioning on cell",
+        "ids) — separate JVMs + python-worker pools, exactly how a",
+        "cluster adds executors; scans prune to each shard's strip.",
         "",
         "| metric | 1 executor (N) | 4 executors (4N, coherent window) | efficiency 4N/(4xN) |",
         "|---|---|---|---|",

@@ -120,6 +120,12 @@ def gen_tile_rows(names: list[str], px: int = 128) -> pd.DataFrame:
                 "fmt": "png16",
                 "caption": caption,
                 "phash": np.int64(phash64(dem)),
+                # tile-anchor columns: the row-major write order makes
+                # miny monotone across the file, so min/max row-group
+                # stats turn any spatial range predicate into parquet
+                # row-group pruning (the Iceberg partition-column analog)
+                "minx": np.int32(minx),
+                "miny": np.int32(miny),
             }
         )
     return pd.DataFrame(rows)
@@ -205,6 +211,15 @@ def gen_features(area_tiles: list[str], n_polygons: int, n_lines: int):
             hys = cy + hr * np.sin(ang)
             rings.append((hxs[::-1], hys[::-1]))
         luokka = int(poly_codes[rng.randint(len(poly_codes))])
+        env = {
+            "minx": float(min(r[0].min() for r in rings)),
+            "miny": float(min(r[1].min() for r in rings)),
+            "maxx": float(max(r[0].max() for r in rings)),
+            "maxy": float(max(r[1].max() for r in rings)),
+        }
+        # envelope columns ride with the geometry (the GeoParquet bbox
+        # pattern): spatial predicates push down to the parquet scan and
+        # the cover explode never needs to decode WKB
         polys.append(
             {
                 "feature_id": fid,
@@ -213,18 +228,11 @@ def gen_features(area_tiles: list[str], n_polygons: int, n_lines: int):
                 ),
                 "luokka": luokka,
                 "seq": fid,
+                **env,
             }
         )
-        envs.append(
-            {
-                "feature_id": fid, "kind": "polygon", "luokka": luokka,
-                "seq": fid,
-                "minx": float(min(r[0].min() for r in rings)),
-                "miny": float(min(r[1].min() for r in rings)),
-                "maxx": float(max(r[0].max() for r in rings)),
-                "maxy": float(max(r[1].max() for r in rings)),
-            }
-        )
+        envs.append({"feature_id": fid, "kind": "polygon", "luokka": luokka,
+                     "seq": fid, **env})
 
     lines = []
     for fid in range(n_lines):
@@ -236,22 +244,21 @@ def gen_features(area_tiles: list[str], n_polygons: int, n_lines: int):
         xs = np.clip(pts[:, 0], minx, maxx - 0.01)
         ys = np.clip(pts[:, 1], miny, maxy - 0.01)
         luokka = int(line_codes[rng.randint(len(line_codes))])
+        env = {
+            "minx": float(xs.min()), "miny": float(ys.min()),
+            "maxx": float(xs.max()), "maxy": float(ys.max()),
+        }
         lines.append(
             {
                 "feature_id": n_polygons + fid,
                 "geom_wkb": encode_linestring(xs, ys),
                 "luokka": luokka,
                 "seq": n_polygons + fid,
+                **env,
             }
         )
-        envs.append(
-            {
-                "feature_id": n_polygons + fid, "kind": "line",
-                "luokka": luokka, "seq": n_polygons + fid,
-                "minx": float(xs.min()), "miny": float(ys.min()),
-                "maxx": float(xs.max()), "maxy": float(ys.max()),
-            }
-        )
+        envs.append({"feature_id": n_polygons + fid, "kind": "line",
+                     "luokka": luokka, "seq": n_polygons + fid, **env})
     return pd.DataFrame(polys), pd.DataFrame(lines), pd.DataFrame(envs)
 
 
@@ -331,9 +338,10 @@ def ensure_images_table(
 
     n = n_tiles if n_tiles else SF_TILES.get(sf, max(9, int(2560 * sf)))
     out = os.path.join(base_dir, f"images_n{n}")  # content-addressed by count
-    # v2: adds the oracle side tables (feature_envelopes / image_stats /
-    # resize_stats / frames); older caches regenerate in full (idempotent)
-    marker = os.path.join(out, "_SUCCESS_v2")
+    # v3: adds envelope columns on the feature tables + tile-anchor
+    # columns on images (pushdown pruning); v2 added the oracle side
+    # tables.  Older caches regenerate in full (idempotent).
+    marker = os.path.join(out, "_SUCCESS_v3")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
@@ -348,6 +356,8 @@ def ensure_images_table(
             ("fmt", pa.string()),
             ("caption", pa.string()),
             ("phash", pa.int64()),
+            ("minx", pa.int32()),
+            ("miny", pa.int32()),
         ]
     )
     # small row groups => many parquet splits => the Spark scan itself is

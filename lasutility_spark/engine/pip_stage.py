@@ -179,32 +179,53 @@ def rasterize_features_broadcast(
 
 
 def explode_feature_covers(
-    features: DataFrame, size_north: int = 1000
+    features: DataFrame,
+    size_north: int = 1000,
+    use_stored_envelopes: bool | None = None,
 ) -> DataFrame:
-    """X5 duplication: one row per (feature, covered tile).  Envelope via
-    a vectorized pandas UDF over WKB, cover explode via sequence()."""
-    import pyarrow  # noqa: F401  (arrow transport)
+    """X5 duplication: one row per (feature, covered tile).
 
-    @F.pandas_udf("minx double, miny double, maxx double, maxy double")
-    def envelope_udf(g: pd.Series) -> pd.DataFrame:
-        envs = [wkb.decode(b).envelope() for b in g]
-        return pd.DataFrame(envs, columns=["minx", "miny", "maxx", "maxy"])
-
+    When the feature table carries envelope columns (minx/miny/maxx/maxy
+    — the GeoParquet bbox pattern, what a 100 TB feature store would
+    have), the whole explode stays in JVM codegen: floor arithmetic +
+    sequence() on stored columns, zero Python.  Otherwise the envelope
+    comes from a vectorized WKB-decode pandas UDF.  ``use_stored_envelopes``
+    forces one path (the X5 oracle query forces the decode path so the
+    stored envelopes remain an independent cross-check)."""
     from ..gridlib import tilenamer as tn
 
     se, sn = tn._snap_sizes(size_north)
-    f = features.withColumn("env", envelope_udf("geom_wkb"))
-    c0 = F.floor((F.col("env.minx") - tn.ORIGIN_EAST) / se).cast("long")
-    c1 = F.floor((F.col("env.maxx") - tn.ORIGIN_EAST) / se).cast("long")
-    r0 = F.floor((F.col("env.miny") - tn.ORIGIN_NORTH) / sn).cast("long")
-    r1 = F.floor((F.col("env.maxy") - tn.ORIGIN_NORTH) / sn).cast("long")
+    stored = (
+        {"minx", "miny", "maxx", "maxy"} <= set(features.columns)
+        if use_stored_envelopes is None
+        else use_stored_envelopes
+    )
+    if stored:
+        f = features
+        env = {k: F.col(k) for k in ("minx", "miny", "maxx", "maxy")}
+        drop = ["tile_row", "tile_col"]
+    else:
+        import pyarrow  # noqa: F401  (arrow transport)
+
+        @F.pandas_udf("minx double, miny double, maxx double, maxy double")
+        def envelope_udf(g: pd.Series) -> pd.DataFrame:
+            envs = [wkb.decode(b).envelope() for b in g]
+            return pd.DataFrame(envs, columns=["minx", "miny", "maxx", "maxy"])
+
+        f = features.withColumn("env", envelope_udf("geom_wkb"))
+        env = {k: F.col(f"env.{k}") for k in ("minx", "miny", "maxx", "maxy")}
+        drop = ["env", "tile_row", "tile_col"]
+    c0 = F.floor((env["minx"] - tn.ORIGIN_EAST) / se).cast("long")
+    c1 = F.floor((env["maxx"] - tn.ORIGIN_EAST) / se).cast("long")
+    r0 = F.floor((env["miny"] - tn.ORIGIN_NORTH) / sn).cast("long")
+    r1 = F.floor((env["maxy"] - tn.ORIGIN_NORTH) / sn).cast("long")
     return (
         f.withColumn("tile_row", F.explode(F.sequence(r0, r1)))
         .withColumn("tile_col", F.explode(F.sequence(c0, c1)))
         .withColumn(
             "cell_id", F.col("tile_row") * F.lit(1 << 32) + F.col("tile_col")
         )
-        .drop("env", "tile_row", "tile_col")
+        .drop(*drop)
     )
 
 

@@ -137,7 +137,9 @@ def test_ensure_images_table(tmp_path):
 
     t = pq.read_table(f"{out}/images.parquet")
     assert t.num_rows == 9
-    assert t.column_names == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    assert t.column_names == [
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "minx", "miny",
+    ]
     p = pq.read_table(f"{out}/polygons.parquet")
     assert p.num_rows >= 40
     g = decode(p.column("geom_wkb")[0].as_py())
