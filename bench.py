@@ -79,7 +79,11 @@ def run_once() -> dict:
         images = images.filter(
             (F.col("miny") >= strip[0]) & (F.col("miny") < strip[1])
         )
-    images = images.cache()
+    # spread the (possibly filter-concentrated) rows across the worker
+    # count BEFORE caching: a strip shard's rows live in ~1/m of the
+    # scan partitions, and a cache that narrow serializes every
+    # downstream source stage
+    images = images.repartition(4 * CPUS).cache()
     n_tiles = images.count()
 
     timings: dict[str, float] = {}
