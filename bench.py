@@ -79,11 +79,24 @@ def run_once() -> dict:
         images = images.filter(
             (F.col("miny") >= strip[0]) & (F.col("miny") < strip[1])
         )
-    # spread the (possibly filter-concentrated) rows across the worker
-    # count BEFORE caching: a strip shard's rows live in ~1/m of the
-    # scan partitions, and a cache that narrow serializes every
-    # downstream source stage
-    images = images.repartition(4 * CPUS).cache()
+    # Pre-partition the cached tile table on the PIP cogroup key
+    # (parent_id), sized to the session's shuffle partition count:
+    # (a) spreads a strip shard's filter-concentrated rows across all
+    #     workers (a cache 2 scan-partitions wide serializes every
+    #     downstream source stage),
+    # (b) q1's fused pass then needs NO repartition at all, and
+    # (c) q2's cogroup recognizes the co-partitioning and only shuffles
+    #     the small covers side — the ~0.5 GB of tile bytes never move
+    #     again after the one cache build.
+    from lasutility_spark.engine.tiling import cell_id_from_caption
+
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    images = (
+        images.withColumn("cell_id", cell_id_from_caption(1000))
+        .withColumn("parent_id", pip_stage.parent_cell_col(3))
+        .repartition(n_shuffle, "parent_id")
+        .cache()
+    )
     n_tiles = images.count()
 
     timings: dict[str, float] = {}
@@ -137,7 +150,7 @@ def run_once() -> dict:
     # repartition defeats the small-file single-task trap
     n_out = timed(
         "q1_tin_rasterize",
-        lambda: tin_stage.rasterize_images_fused(images, px=128, partitions=4 * CPUS),
+        lambda: tin_stage.rasterize_images_fused(images, px=128),
     )
     extras["tiles_per_sec"] = n_out / timings["q1_tin_rasterize"]
     extras["n_tiles"] = n_out

@@ -71,14 +71,15 @@ def _decoded_feats(b_feats) -> list:
     return got
 
 
-def _rasterize_tile(
+def _rasterize_tile_raster(
     cell: int,
     px: int,
     size_north: int,
     feats: list[tuple[int, int, object]],
     classmap: dict[int, int],
-) -> dict:
-    """One tile: apply features (seq-sorted) onto a fresh byte raster.
+):
+    """One tile's raw class raster: apply features (seq-sorted) onto a
+    fresh byte plane.  Returns (raster, n_applied, envelope).
 
     feats: (seq, luokka, geom) where geom is WKB bytes OR an
     already-decoded :class:`wkb.Geometry` (hot paths decode each feature
@@ -125,7 +126,21 @@ def _rasterize_tile(
                 applied = True
         if applied:
             n_applied += 1
+    return raster, n_applied, (minx, miny, maxx, maxy)
 
+
+def _rasterize_tile(
+    cell: int,
+    px: int,
+    size_north: int,
+    feats: list[tuple[int, int, object]],
+    classmap: dict[int, int],
+) -> dict:
+    """One tile as an encoded image-table row (png8 + caption + phash);
+    see :func:`_rasterize_tile_raster` for the kernel itself."""
+    raster, n_applied, (minx, miny, maxx, maxy) = _rasterize_tile_raster(
+        cell, px, size_north, feats, classmap
+    )
     name = str(cell_id_to_name(np.array([cell]), size_north)[0])
     caption = datagen.CAPTION_FMT.format(
         name=name, minx=minx, miny=miny, maxx=maxx, maxy=maxy,
@@ -176,6 +191,18 @@ def rasterize_features_broadcast(
             )
 
     return tiles.select("cell_id").distinct().mapInPandas(run, PIP_TILE_SCHEMA)
+
+
+def parent_cell_col(batch_parent: int = 3):
+    """The batch_parent x batch_parent parent-cell id of ``cell_id`` —
+    the cogroup key of :func:`classify_images_fused`.  Callers that
+    pre-partition their tile table on this column (repartition(N,
+    "parent_id") before caching) let the heavy side of the cogroup skip
+    its exchange."""
+    return F.expr(
+        f"(shiftright(cell_id, 32) DIV {batch_parent}) * 4294967296"
+        f" + ((cell_id & 4294967295) DIV {batch_parent})"
+    ).alias("parent_id")
 
 
 def explode_feature_covers(
@@ -299,7 +326,7 @@ def classify_images_fused(
     Set to 1 for the plain per-tile cogroup.
     """
     from .. import datagen as dg
-    from ..gridlib.png import png16_to_dem, png_decode
+    from ..gridlib.png import png16_to_dem
     from .tiling import cell_id_from_caption
 
     if "cell_id" not in images.columns:
@@ -312,10 +339,7 @@ def classify_images_fused(
     # covered cell.  AQE picks broadcast for small tile sets, SMJ at scale.
     covers = covers.join(images.select("cell_id").distinct(), "cell_id", "semi")
     cmap = dict(classmap)
-    parent = F.expr(
-        f"(shiftright(cell_id, 32) DIV {batch_parent}) * 4294967296"
-        f" + ((cell_id & 4294967295) DIV {batch_parent})"
-    ).alias("parent_id")
+    parent = parent_cell_col(batch_parent)
 
     def run(key, img_pdf: pd.DataFrame, feat_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -347,8 +371,9 @@ def classify_images_fused(
                         geom = wkb.decode(gb)
                         decode_memo[gb] = geom
                     feats.append((int(s), int(l), geom))
-            tile = _rasterize_tile(cell, px, size_north, feats, cmap)
-            raster = png_decode(bytes(tile["bytes"]))
+            raster, _n, _env = _rasterize_tile_raster(
+                cell, px, size_north, feats, cmap
+            )
             for cap, data in zip(sub["caption"], sub["bytes"]):
                 name, minx, miny, maxx, maxy, cs, _ = dg.parse_caption(cap)
                 dem = png16_to_dem(bytes(data), dg.Z_MIN, dg.Z_MAX)
@@ -369,8 +394,17 @@ def classify_images_fused(
                     )
         return pd.DataFrame(out) if out else empty
 
+    # keep a caller-provided parent_id column: input pre-partitioned on
+    # it (repartition(N, "parent_id") before cache) satisfies the
+    # cogroup's clustered distribution, so the heavy image-bytes side
+    # skips its exchange entirely — only the small covers side shuffles
+    img_side = images.select("cell_id", "caption", "bytes", *(
+        ["parent_id"] if "parent_id" in images.columns else []
+    ))
+    if "parent_id" not in img_side.columns:
+        img_side = img_side.withColumn("parent_id", parent)
     return (
-        images.select("cell_id", "caption", "bytes").withColumn("parent_id", parent)
+        img_side
         .groupBy("parent_id")
         .cogroup(covers.withColumn("parent_id", parent).groupBy("parent_id"))
         .applyInPandas(
@@ -400,7 +434,7 @@ def classify_images_broadcast(
 
     from .. import datagen as dg
     from ..gridlib import wkb as W
-    from ..gridlib.png import png16_to_dem, png_decode
+    from ..gridlib.png import png16_to_dem
     from ..gridlib.tilenamer import cell_id as cid_fn
 
     rows = features.select("seq", "luokka", "geom_wkb").collect()
@@ -426,10 +460,9 @@ def classify_images_broadcast(
                     & (fenvs[:, 1] < maxy)
                 )
                 cell = int(cid_fn(np.array([minx]), np.array([miny]), size_north)[0])
-                tile = _rasterize_tile(
+                raster, _n, _env = _rasterize_tile_raster(
                     cell, px, size_north, [all_feats[i] for i in sel], cmap
                 )
-                raster = png_decode(bytes(tile["bytes"]))
                 dem = png16_to_dem(bytes(data), dg.Z_MIN, dg.Z_MAX)
                 x, y, _z, _c = dg.sample_points_from_tile(name, dem, minx, miny, cs)
                 rcs = (maxx - minx) / raster.shape[1]
