@@ -277,11 +277,17 @@ def run_scaling() -> None:
         t0, t1 = r["windows"][qk][-1]
         return r[nk] / (t1 - t0)
 
+    # executor-shaped JVMs: memory scales with core count (0.75 GB/core),
+    # so an 8-core "executor" gets the same per-core heap at every
+    # cluster size — 4x12g shard heaps measurably degrade concurrent GC
+    # on this host versus the proportional 6g
+    mem8, mem32 = {"SPARK_DRIVER_MEM": "6g"}, {"SPARK_DRIVER_MEM": "24g"}
+
     runs = []
     for cycle in range(cycles):
         headline = {"SPARK_GRAFT_HEADLINE": "1"} if cycle > 0 else {}
         r8 = _last_json(_bench_subprocess(
-            dict(base_env, SPARK_GRAFT_CPUS=8, **headline), "c8"))
+            dict(base_env, SPARK_GRAFT_CPUS=8, **headline, **mem8), "c8"))
         import tempfile
 
         bdir = tempfile.mkdtemp(prefix="bench_barrier_")
@@ -289,14 +295,14 @@ def run_scaling() -> None:
             _bench_subprocess(
                 dict(base_env, SPARK_GRAFT_CPUS=8, SPARK_GRAFT_HEADLINE="1",
                      SPARK_GRAFT_SHARD=f"{k}:4",
-                     SPARK_GRAFT_BARRIER_DIR=bdir),
+                     SPARK_GRAFT_BARRIER_DIR=bdir, **mem8),
                 f"shard{k}",
             )
             for k in range(4)
         ]
         shards = [_last_json(p) for p in shard_procs]
         r32 = _last_json(_bench_subprocess(
-            dict(base_env, SPARK_GRAFT_CPUS=32, **headline), "c32"))
+            dict(base_env, SPARK_GRAFT_CPUS=32, **headline, **mem32), "c32"))
         runs.append((r8, shards, r32))
 
     per_cycle = []
