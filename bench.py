@@ -365,6 +365,16 @@ def run_scaling() -> None:
         f"| PIP classification (points/sec) | {best['pip_points_per_sec']['n1']:.0f} | "
         f"{best['pip_points_per_sec']['agg4']:.0f} | **{best['pip_points_per_sec']['eff_exec']:.2f}** |",
         "",
+        "Reading the PIP row: the kernel-level speedups (see git log)",
+        "raised the SINGLE-executor baseline to more than half of what",
+        "this host can do with all 32 cores (N executor ~3.0M pts/s vs",
+        "the host-wide ~5.5M ceiling measured by the local[32] run), so",
+        "a 4x multiple is arithmetically impossible on one box — the",
+        "efficiency denominator is capped by the shared memory subsystem,",
+        "not by the plan.  On a real cluster each executor brings its own",
+        "memory bus, so the N-executor rate replicates instead of",
+        "saturating.",
+        "",
         "## Thread scaling (conservative lower bound: local[8] -> local[32])",
         "",
         "One JVM widened 8 -> 32 task threads.  Shares one GC/memory bus;",
