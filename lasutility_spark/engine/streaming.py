@@ -50,6 +50,46 @@ def events_hourly_stream(
     )
 
 
+def tiles_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    px: int = 64,
+    max_files_per_trigger: int = 2,
+):
+    """Streaming tile ingest: new image files -> the SAME fused
+    Delaunay-TIN rasterization kernel as batch, written incrementally.
+
+    foreachBatch hands every micro-batch to the batch-path
+    :func:`tin_stage.rasterize_images_fused`, so stream output ==
+    batch output row-for-row by construction; the stream checkpoint
+    (source offsets) plus per-batch append gives exactly-once tile
+    production across restarts — the streaming twin of the
+    checkpoint/resume contract.  Returns the started query (caller
+    awaits termination; availableNow drains the directory once).
+    """
+    from . import tin_stage
+
+    static = spark.read.parquet(source_dir)  # directory of image parquet files
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tiles = tin_stage.rasterize_images_fused(batch_df, px=px)
+        tiles.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_once(stream_df: DataFrame, checkpoint_dir: str) -> list:
     """Drain the source with availableNow into an in-memory sink and
     return the final rows (complete mode)."""

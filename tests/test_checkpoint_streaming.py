@@ -103,3 +103,41 @@ def test_streaming_matches_batch(spark, tmp_path):
     )
     want = {(r["hour"], r["event_type"]): (r["n"], r["s"]) for r in batch}
     assert got == want  # stream (availableNow) == batch, exactly
+
+
+def test_tiles_stream_matches_batch(spark, tmp_path):
+    """Streaming tile ingest == batch rasterization row-for-row (the
+    foreachBatch sink reuses the batch kernel), and the stream
+    checkpoint makes a second drain a no-op (exactly-once)."""
+    from lasutility_spark import datagen
+    from lasutility_spark.engine import streaming, tin_stage
+
+    import shutil
+
+    images_dir = datagen.ensure_images_table(0.001)
+    src = str(tmp_path / "images_in")  # file source requires a directory
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(images_dir, "images.parquet"),
+        os.path.join(src, "part-0.parquet"),
+    )
+    out = str(tmp_path / "tiles_out")
+    ckpt = str(tmp_path / "tiles_ckpt")
+    q = streaming.tiles_stream(spark, src, out, ckpt, px=32)
+    q.awaitTermination()
+    got = {
+        (r["cell_id"], r["phash"], r["n_points"], r["filled_cells"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = tin_stage.rasterize_images_fused(
+        spark.read.parquet(f"{images_dir}/images.parquet"), px=32
+    )
+    want = {
+        (r["cell_id"], r["phash"], r["n_points"], r["filled_cells"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) == 9
+    # restart with the same checkpoint: no new source files -> no new rows
+    q2 = streaming.tiles_stream(spark, src, out, ckpt, px=32)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == 9
