@@ -151,7 +151,19 @@ def sample_points_from_tile(
     name: str, dem: np.ndarray, minx: int, miny: int, cellsize: float
 ):
     """Decode-to-points: pixel -> point at cell center; deterministic
-    subsample + class assignment (ground 80%, veg 3/4/5)."""
+    subsample + class assignment (ground 80%, veg 3/4/5).
+
+    C fast path (gridlib._native.sample_points) with bit-identical
+    numpy fallback — pinned by tests/test_codecs_datagen.py."""
+    from .gridlib import _native
+
+    rate_ = DENSE_RATE if is_dense_tile(name) else BASE_RATE
+    if dem.dtype == np.float32:  # other dtypes would downcast: numpy path
+        got = _native.sample_points(
+            dem, float(minx), float(miny), float(cellsize), rate_
+        )
+        if got is not None:
+            return got
     px = dem.shape[0]
     cols, rws = np.meshgrid(np.arange(px), np.arange(px))
     ex = minx + (cols + 0.5) * cellsize

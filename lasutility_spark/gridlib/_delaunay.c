@@ -519,3 +519,62 @@ void lsu_rasterize_dem(int64_t n_tri, const int64_t *tri, const double *x,
         }
     }
 }
+
+/* ----------------------------------------------------------------------
+ * lsu_sample_points: decode-to-points subsample + class assignment.
+ *
+ * Bit-exact C twin of datagen.sample_points_from_tile (the numpy path):
+ * pixel centers hashed with splitmix64 -> uniform [0,1) doubles; a
+ * pixel becomes a "LIDAR return" when u < rate, with class from a
+ * second hash (ground 80%, vegetation 3/4/5) and vegetation lifted
+ * above the terrain.  All integer arithmetic is identical to the numpy
+ * expression (truncating int64 casts of non-negative products, the
+ * same op order for the IEEE doubles), so outputs match the fallback
+ * bit for bit.
+ * -------------------------------------------------------------------- */
+
+static inline uint64_t lsu_splitmix64(uint64_t v) {
+    v += 0x9E3779B97F4A7C15ULL;
+    uint64_t z = v;
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    return z ^ (z >> 31);
+}
+
+static inline double lsu_hash01_2(int64_t a, int64_t b) {
+    uint64_t acc = 0;
+    acc = lsu_splitmix64(acc ^ (uint64_t)a);
+    acc = lsu_splitmix64(acc ^ (uint64_t)b);
+    return (double)(acc >> 11) / 9007199254740992.0; /* 2^53 */
+}
+
+int64_t lsu_sample_points(int64_t px, const float *dem, double minx,
+                          double miny, double cs, double rate,
+                          double *out_x, double *out_y, double *out_z,
+                          uint8_t *out_cls) {
+    int64_t n = 0;
+    for (int64_t r = 0; r < px; r++) {
+        double ny = miny + ((double)r + 0.5) * cs;
+        int64_t hy = (int64_t)(ny * 100.0);
+        for (int64_t c = 0; c < px; c++) {
+            double ex = minx + ((double)c + 0.5) * cs;
+            double u = lsu_hash01_2((int64_t)(ex * 100.0) + 7, hy);
+            if (u >= rate) continue;
+            double v = lsu_hash01_2((int64_t)(ex * 100.0) + 13, hy);
+            uint8_t cls = 2; /* ground */
+            if (v >= 0.8) {
+                if (v < 0.88) cls = 3;
+                else if (v < 0.95) cls = 4;
+                else cls = 5;
+            }
+            double z = (double)dem[r * px + c];
+            if (cls != 2) z += 2.0 + 14.0 * v;
+            out_x[n] = ex;
+            out_y[n] = ny;
+            out_z[n] = z;
+            out_cls[n] = cls;
+            n++;
+        }
+    }
+    return n;
+}

@@ -31,6 +31,7 @@ _fn = None
 _raster_fn = None
 _fill_fn = None
 _line_fn = None
+_sample_fn = None
 
 
 def _read_source() -> bytes:
@@ -146,17 +147,50 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ]
-    return fn, rfn, pfn, lfn
+    sfn = lib.lsu_sample_points
+    sfn.restype = ctypes.c_int64
+    sfn.argtypes = [
+        ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    return fn, rfn, pfn, lfn, sfn
 
 
 def _ensure_loaded():
-    global _loaded, _fn, _raster_fn, _fill_fn, _line_fn
+    global _loaded, _fn, _raster_fn, _fill_fn, _line_fn, _sample_fn
     if not _loaded:
         try:
-            _fn, _raster_fn, _fill_fn, _line_fn = _build_and_load()
+            _fn, _raster_fn, _fill_fn, _line_fn, _sample_fn = _build_and_load()
         except Exception:
-            _fn = _raster_fn = _fill_fn = _line_fn = None
+            _fn = _raster_fn = _fill_fn = _line_fn = _sample_fn = None
         _loaded = True
+
+
+def sample_points(
+    dem: np.ndarray, minx: float, miny: float, cs: float, rate: float
+):
+    """C decode-to-points subsample; None => caller uses the numpy path.
+    Bit-identical to datagen.sample_points_from_tile's numpy arithmetic."""
+    if os.environ.get("LSU_NO_NATIVE") == "1":
+        return None
+    _ensure_loaded()
+    if _sample_fn is None:
+        return None
+    dem = np.ascontiguousarray(dem, dtype=np.float32)
+    px = dem.shape[0]
+    if dem.ndim != 2 or dem.shape[1] != px:
+        return None
+    cap = px * px
+    x = np.empty(cap, dtype=np.float64)
+    y = np.empty(cap, dtype=np.float64)
+    z = np.empty(cap, dtype=np.float64)
+    cls = np.empty(cap, dtype=np.uint8)
+    n = _sample_fn(
+        px, dem.ctypes.data, float(minx), float(miny), float(cs), float(rate),
+        x.ctypes.data, y.ctypes.data, z.ctypes.data, cls.ctypes.data,
+    )
+    return x[:n], y[:n], z[:n], cls[:n]
 
 
 def triangulate(x: np.ndarray, y: np.ndarray) -> np.ndarray | None:

@@ -34,18 +34,18 @@ def png_encode(img: np.ndarray) -> bytes:
         raise ValueError("expected 2-D grayscale array")
     if img.dtype == np.uint8:
         depth = 8
-        raw = img
+        rawb = np.ascontiguousarray(img)
     elif img.dtype == np.uint16:
         depth = 16
-        raw = img.byteswap() if img.dtype.byteorder in ("<", "=") else img
-        raw = img.astype(">u2")
+        rawb = img.astype(">u2").view(np.uint8)
     else:
         raise ValueError(f"unsupported dtype {img.dtype}")
     h, w = img.shape
     ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
-    # filter byte 0 per scanline
-    body = b"".join(b"\x00" + raw[r].tobytes() for r in range(h))
-    idat = zlib.compress(body, 6)
+    # filter byte 0 per scanline, built as one strided plane (no row loop)
+    body_arr = np.zeros((h, 1 + rawb.shape[1]), dtype=np.uint8)
+    body_arr[:, 1:] = rawb
+    idat = zlib.compress(body_arr.tobytes(), 6)
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -63,10 +63,9 @@ def png_encode_rgb8_mirrored(raster: np.ndarray) -> bytes:
     rgb = np.repeat(np.flipud(raster)[:, :, None], 3, axis=2)
     h, w = raster.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # color type 2 (RGB)
-    body = b"".join(
-        b"\x00" + np.ascontiguousarray(rgb[r]).tobytes() for r in range(h)
-    )
-    idat = zlib.compress(body, 6)
+    body_arr = np.zeros((h, 1 + 3 * w), dtype=np.uint8)
+    body_arr[:, 1:] = rgb.reshape(h, 3 * w)
+    idat = zlib.compress(body_arr.tobytes(), 6)
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -99,6 +98,13 @@ def png_decode(data: bytes) -> np.ndarray:
     bpp = channels * depth // 8
     stride = w * bpp
     raw = zlib.decompress(idat)
+    # fast path: every scanline filter byte is 0 (all PNGs this codec
+    # writes) -> the whole plane is one strided slice, no per-row loop
+    if len(raw) == h * (1 + stride):
+        grid = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+        if not grid[:, 0].any():
+            out = np.ascontiguousarray(grid[:, 1:])
+            return _assemble(out, h, w, depth, ctype)
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     pos = 0
@@ -130,6 +136,10 @@ def png_decode(data: bytes) -> np.ndarray:
             raise ValueError(f"bad filter {ftype}")
         out[r] = line
         prev = line
+    return _assemble(out, h, w, depth, ctype)
+
+
+def _assemble(out: np.ndarray, h: int, w: int, depth: int, ctype: int) -> np.ndarray:
     if ctype == 2:
         return out.reshape(h, w, 3)
     if depth == 8:
