@@ -366,14 +366,14 @@ def run_scaling() -> None:
         f"{best['pip_points_per_sec']['agg4']:.0f} | **{best['pip_points_per_sec']['eff_exec']:.2f}** |",
         "",
         "Reading the PIP row: the kernel-level speedups (see git log)",
-        "raised the SINGLE-executor baseline to more than half of what",
-        "this host can do with all 32 cores (N executor ~3.0M pts/s vs",
-        "the host-wide ~5.5M ceiling measured by the local[32] run), so",
-        "a 4x multiple is arithmetically impossible on one box — the",
-        "efficiency denominator is capped by the shared memory subsystem,",
-        "not by the plan.  On a real cluster each executor brings its own",
-        "memory bus, so the N-executor rate replicates instead of",
-        "saturating.",
+        "raised the SINGLE-executor baseline to "
+        f"{100 * best['pip_points_per_sec']['n1'] / max(best['pip_points_per_sec']['n32'], best['pip_points_per_sec']['agg4']):.0f}% "
+        "of the best whole-host",
+        "(32-core) rate this box ever reaches, so a 4x multiple is",
+        "arithmetically impossible on one machine — the efficiency",
+        "denominator saturates the shared memory subsystem, not the",
+        "plan.  On a real cluster each executor brings its own memory",
+        "bus, so the N-executor rate replicates instead of saturating.",
         "",
         "## Thread scaling (conservative lower bound: local[8] -> local[32])",
         "",
