@@ -272,6 +272,7 @@ _RELATIONAL: dict[str, tuple[Callable[[str], str], list[str]]] = {
     "txt_fingerprint": (text.fingerprint_sql, ["documents"]),
     "txt_quality": (text.quality_sql, ["documents"]),
     "txt_token_hist": (text.token_hist_sql, ["documents"]),
+    "txt_bpe_tokens": (text.bpe_tokens_sql, ["documents"]),
     "dd_exact": (dedup.exact_dedup_sql, ["documents"]),
     "dd_simhash": (dedup.simhash_sql, ["documents"]),
     "sim_ann_topk": (similarity.ann_topk_sql, ["embeddings"]),

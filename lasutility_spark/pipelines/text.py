@@ -128,3 +128,23 @@ def token_hist_sql(dialect: str) -> str:
     GROUP BY token
     HAVING COUNT(*) >= 5
     """
+
+
+def bpe_tokens_sql(dialect: str) -> str:
+    """BPE-ish subword token count per document: greedy regex chunks —
+    letter runs split into <=4-char pieces (a word of 10 letters = 3
+    subwords, like a byte-pair vocabulary would), digits and punctuation
+    one token each.  The whitespace tokenizer lives in doc_stats_sql;
+    this is the second tokenizer of a pretraining-data pipeline (budget
+    estimation / length filtering by model tokens, not words)."""
+    pat = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"
+    if dialect == "spark":
+        cnt = f"regexp_count(text, '{pat}')"
+    else:
+        cnt = f"len(regexp_extract_all(text, '{pat}'))"
+    return f"""
+    SELECT doc_id,
+           CAST({cnt} AS BIGINT) AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS chars
+    FROM documents
+    """
