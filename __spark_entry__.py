@@ -280,6 +280,8 @@ _RELATIONAL: dict[str, tuple[Callable[[str], str], list[str]]] = {
     "sim_lsh_pairs": (similarity.lsh_candidate_pairs_sql, ["embeddings"]),
     "sim_near_dup": (similarity.near_dup_pairs_sql, ["embeddings"]),
     "sim_knn_label": (similarity.knn_label_sql, ["embeddings"]),
+    "sim_ivf_assign": (similarity.ivf_assign_sql, ["embeddings"]),
+    "sim_ivf_topk": (similarity.ivf_topk_sql, ["embeddings"]),
     "evt_hourly": (_events_sql, ["events"]),
 }
 

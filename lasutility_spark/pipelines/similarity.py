@@ -152,3 +152,84 @@ def knn_label_sql(dialect: str, n_queries: int = 20, k: int = 5) -> str:
     ) t
     WHERE rn = 1
     """
+
+
+# --- IVF (inverted-file) ANN: coarse quantizer + within-list search -------
+
+K_CENTROIDS = 8
+
+
+def _centroid(j: int) -> list[int]:
+    """Fixed deterministic integer centroids: rotations of one base
+    vector, so every centroid has the SAME norm and the argmin is
+    decided purely by direction (unequal norms would send every vector
+    to the smallest-norm list)."""
+    base = [((i * 31 + 17) % 7) - 3 for i in range(DIM)]
+    return [base[(i + j * 8) % DIM] for i in range(DIM)]
+
+
+def _centroid_key(dialect: str, a: str, j: int) -> str:
+    """Integer distance key of vector ``a`` (quantized x100) to centroid
+    j: S^2*|c|^2 - 2*S*dot(vq, c) with S=100 — the |vq|^2 term is
+    constant per vector and drops out of the argmin."""
+    c = _centroid(j)
+    cnorm2 = sum(v * v for v in c)
+    # same arithmetic as _plane_dot but with the centroid literal
+    if dialect == "spark":
+        arr = "array(" + ", ".join(str(v) for v in c) + ")"
+        dot = (
+            f"aggregate(sequence(1, {DIM}), 0L, (acc, i) -> acc + "
+            f"CAST(FLOOR(CAST(element_at({a}, i) AS DOUBLE) * 100.0) AS BIGINT) * "
+            f"element_at({arr}, i))"
+        )
+    else:
+        arr = "[" + ", ".join(str(v) for v in c) + "]"
+        dot = (
+            f"CAST(list_sum(list_transform(range(1, {DIM} + 1), i -> "
+            f"CAST(FLOOR(CAST({a}[i] AS DOUBLE) * 100.0) AS BIGINT) * {arr}[i])) AS BIGINT)"
+        )
+    return f"({10000 * cnorm2} - 200 * ({dot}))"
+
+
+def ivf_assign_sql(dialect: str) -> str:
+    """IVF coarse quantizer: each vector -> its nearest centroid (exact
+    integer distance keys; ties to the smallest centroid id).  The
+    centroid id is the inverted-list partition key — at 10^12 scale the
+    lists are the table's bucketing, and a probe touches only its list
+    (the IVF analog of the LSH bucket equi-join)."""
+    keys = [
+        f"({_centroid_key(dialect, 'embedding', j)} * {K_CENTROIDS} + {j})"
+        for j in range(K_CENTROIDS)
+    ]
+    least = "LEAST(" + ", ".join(keys) + ")"
+    return (
+        f"SELECT vec_id, label, CAST(({least}) % {K_CENTROIDS} AS BIGINT) "
+        "AS centroid FROM embeddings"
+    )
+
+
+def ivf_topk_sql(dialect: str, n_queries: int = 10, k: int = 5) -> str:
+    """IVF ANN top-k (nprobe=1): candidates are the query's own inverted
+    list; exact integer-dot re-rank inside it.  Queries whose list holds
+    fewer than k neighbors return fewer rows (the classic IVF recall
+    trade, bounded work per query)."""
+    assign = ivf_assign_sql(dialect)
+    dot = _qdot(dialect, "q.embedding", "c.embedding")
+    return f"""
+    WITH a AS ({assign})
+    SELECT query_id, neighbor_id, centroid, dot, rnk
+    FROM (
+      SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+             qa.centroid AS centroid, {dot} AS dot,
+             ROW_NUMBER() OVER (
+               PARTITION BY qa.vec_id
+               ORDER BY {dot} DESC, ca.vec_id
+             ) AS rnk
+      FROM a qa
+      JOIN a ca ON ca.centroid = qa.centroid AND ca.vec_id <> qa.vec_id
+      JOIN embeddings q ON q.vec_id = qa.vec_id
+      JOIN embeddings c ON c.vec_id = ca.vec_id
+      WHERE qa.vec_id < {n_queries}
+    ) t
+    WHERE rnk <= {k}
+    """
