@@ -378,10 +378,10 @@ def run_scaling() -> None:
         "## Thread scaling (conservative lower bound: local[8] -> local[32])",
         "",
         "One JVM widened 8 -> 32 task threads.  Shares one GC/memory bus;",
-        "the host's own all-core ceiling (pure multiprocessing, zero Spark)",
-        "is ~0.86 on the real kernel because all-core turbo lowers the",
-        "per-core clock; on a real cluster 4N executors bring 4x memory",
-        "buses and full clocks.",
+        "the host's own ceiling on the REAL per-tile kernel (pure",
+        "multiprocessing, zero Spark — see host_ceiling.json below) caps",
+        "any single-host scaling; on a real cluster 4N executors bring",
+        "4x memory buses and full clocks.",
         "",
         "| metric | local[8] (N) | local[32] (4N) | efficiency 4N/(4xN) |",
         "|---|---|---|---|",
@@ -429,12 +429,14 @@ def run_scaling() -> None:
         extra_ctx += [
             "",
             "Reading: scripts/host_ceiling.py measures this host's own",
-            "8 -> 32-process scaling with zero Spark — pure-ALU work 0.83",
-            "(all-core turbo drop), memory-bus-bound work 0.13, and the",
-            "engine's real per-tile kernel 0.86.  No framework can beat",
-            "the kernel ceiling on this box; the Spark numbers above it",
-            "reflect that plus Arrow/JVM transfer (bus-bound, 0.13",
-            "ceiling).  On a real cluster, 4N executors bring 4x buses",
+            "8 -> 32-process scaling with zero Spark — pure-ALU work",
+            "~0.88 (all-core turbo drop), memory-bus-bound work ~0.16,",
+            "and the engine's real per-tile kernel ~0.79 (the faster the",
+            "kernel got, the more bus-bound it is per unit time).  No",
+            "framework can scale better than the kernel ceiling on this",
+            "box — and the TIN executor-scaling number above sits AT",
+            "that ceiling, i.e. the Spark layer adds ~zero scaling",
+            "overhead.  On a real cluster, 4N executors bring 4x buses",
             "and unchanged clocks, so neither ceiling applies — the",
             "efficiency criterion is expected to clear 0.8 there.",
             "scripts/ref_anchor.py reproduces the reference's own largest",
