@@ -28,7 +28,14 @@ from lasutility_spark.engine import pip_stage, tin_stage
 from lasutility_spark.engine.tiling import cell_id_col
 from lasutility_spark.gridlib import topodb
 from lasutility_spark.gridlib.tilenamer import cell_id_to_name, tile_decode_batch
-from lasutility_spark.pipelines import dedup, geosql, multimodal, similarity, text
+from lasutility_spark.pipelines import (
+    dedup,
+    events,
+    geosql,
+    multimodal,
+    similarity,
+    text,
+)
 
 _ALL_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -283,6 +290,7 @@ _RELATIONAL: dict[str, tuple[Callable[[str], str], list[str]]] = {
     "sim_ivf_assign": (similarity.ivf_assign_sql, ["embeddings"]),
     "sim_ivf_topk": (similarity.ivf_topk_sql, ["embeddings"]),
     "evt_hourly": (_events_sql, ["events"]),
+    "evt_sessions": (events.sessions_sql, ["events"]),
 }
 
 def _minhash_bands_spark(spark, sf_dir):

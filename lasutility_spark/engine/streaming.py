@@ -50,6 +50,42 @@ def events_hourly_stream(
     )
 
 
+def events_sessions_stream(
+    spark: SparkSession,
+    events_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful streaming sessionization: Spark's state-store-backed
+    ``session_window`` merges events whose gaps stay under ``gap``; the
+    watermark bounds state and closes sessions.  The batch twin is
+    pipelines.events.sessions_sql (gaps-and-islands)."""
+    static = spark.read.parquet(events_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias(
+                "sum_value_x1000"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value_x1000",
+        )
+    )
+
+
 def tiles_stream(
     spark: SparkSession,
     source_dir: str,

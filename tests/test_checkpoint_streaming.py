@@ -141,3 +141,41 @@ def test_tiles_stream_matches_batch(spark, tmp_path):
     q2 = streaming.tiles_stream(spark, src, out, ckpt, px=32)
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == 9
+
+
+def test_sessions_stream_matches_batch(spark, tmp_path):
+    """Stateful streaming sessionization (session_window + watermark,
+    availableNow) == the same session_window aggregation run as batch."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from lasutility_spark.engine import streaming
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet",
+        os.path.join(events_dir, "part-0.parquet"),
+    )
+    stream = streaming.events_sessions_stream(spark, events_dir)
+    rows = streaming.run_stream_once(stream, str(tmp_path / "sess_ckpt"))
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]):
+        (r["n_events"], r["sum_value_x1000"])
+        for r in rows
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("s"),
+        )
+        .collect()
+    )
+    want = {
+        (r["user_id"], r["win"]["start"], r["win"]["end"]): (r["n"], r["s"])
+        for r in batch
+    }
+    assert got == want and len(got) > 15
