@@ -126,6 +126,43 @@ def tiles_stream(
     )
 
 
+def user_totals_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    RUNNING totals (event count + value sum) carried across micro-batches
+    in the state store — the arbitrary-state API for operators that
+    built-in windows can't express (running aggregates, custom decay,
+    per-key models).  Draining with availableNow leaves each user's last
+    emitted row equal to the batch aggregate (pinned in tests)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    static = spark.read.parquet(events_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(events_dir)
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, sv = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            sv += int((pdf["value"] * 1000.0).apply(__import__("math").floor).sum())
+        state.update((n, sv))
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "sum_value_x1000": sv}]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value_x1000 long",
+        stateStructType="n long, sv long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_once(stream_df: DataFrame, checkpoint_dir: str) -> list:
     """Drain the source with availableNow into an in-memory sink and
     return the final rows (complete mode)."""

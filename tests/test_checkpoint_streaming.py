@@ -179,3 +179,48 @@ def test_sessions_stream_matches_batch(spark, tmp_path):
         for r in batch
     }
     assert got == want and len(got) > 15
+
+
+def test_stateful_user_totals_stream(spark, tmp_path):
+    """applyInPandasWithState running totals: after draining the source,
+    each user's LAST emitted row equals the batch aggregate (state
+    persisted across micro-batches)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from lasutility_spark.engine import streaming
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    # several source files => several micro-batches (maxFilesPerTrigger=2)
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src.repartition(6).write.parquet(events_dir, mode="overwrite")
+
+    stream = streaming.user_totals_stream(spark, events_dir)
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .option("checkpointLocation", str(tmp_path / "ut_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM user_totals").collect()
+    # update mode appends one row per (user, micro-batch); the running
+    # totals are monotone, so the max per user is the final state
+    got = {}
+    for r in rows:
+        cur = got.get(r["user_id"], (0, 0))
+        got[r["user_id"]] = max(cur, (r["n_events"], r["sum_value_x1000"]))
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("s"),
+        )
+        .collect()
+    )
+    want = {r["user_id"]: (r["n"], r["s"]) for r in batch}
+    assert got == want
