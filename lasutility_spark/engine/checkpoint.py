@@ -27,11 +27,14 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 MANIFEST = "_manifest.json"
 SUCCESS = "_SUCCESS_STAGE"
@@ -68,30 +71,56 @@ def write_stage(
     out.select(key).distinct().write.mode("overwrite").parquet(
         os.path.join(path, KEYS_DIR)
     )
+    row_count = int(out.count())
+    n_keys = int(spark.read.parquet(os.path.join(path, KEYS_DIR)).count())
     manifest = {
         "stage": stage,
         "inputs": inputs,
         "params": params,
         "params_hash": _params_hash(params),
         "written_at": time.time(),
-        "row_count": int(out.count()),
-        "n_completed_keys": int(
-            spark.read.parquet(os.path.join(path, KEYS_DIR)).count()
-        ),
+        "row_count": row_count,
+        "n_completed_keys": n_keys,
         "n_partitions": int(
             spark.read.parquet(os.path.join(path, LINEAGE_DIR)).count()
         ),
         "keys_table": KEYS_DIR,
         "lineage_table": LINEAGE_DIR,
+        # Iceberg-style snapshot log: one entry per commit (initial write
+        # or incremental resume append)
+        "snapshots": [
+            {"snapshot": 1, "written_at": time.time(), "rows": row_count,
+             "n_keys": n_keys}
+        ],
     }
-    with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(manifest, f)
+    _write_manifest(path, manifest)
     open(os.path.join(path, SUCCESS), "w").close()  # atomic completion (S11)
     return manifest
 
 
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, MANIFEST))
+
+
 def load_manifest(path: str) -> dict | None:
+    """Manifest if the checkpoint is complete, else None.
+
+    A path that has data/manifest files but no ``_SUCCESS_STAGE`` marker
+    is a TORN checkpoint (crash mid-write or mid-append): still returns
+    None (all work recomputed — correct), but emits a distinguishable
+    warning so a discarded 10^9-tile stage does not pass silently."""
     if not os.path.exists(os.path.join(path, SUCCESS)):
+        if os.path.exists(os.path.join(path, MANIFEST)) or (
+            os.path.isdir(path) and any(not e.startswith(".") for e in os.listdir(path))
+        ):
+            log.warning(
+                "checkpoint invalidated: %s has data but no %s marker "
+                "(torn write) — ALL completed work there will be recomputed",
+                path, SUCCESS,
+            )
         return None
     with open(os.path.join(path, MANIFEST)) as f:
         return json.load(f)
@@ -119,9 +148,27 @@ def pending_keys(
     entirely (recompute all).
     """
     m = load_manifest(path)
-    if m is None or (params is not None and m["params_hash"] != _params_hash(params)):
+    if m is None:
+        return wanted
+    if params is not None and m["params_hash"] != _params_hash(params):
+        log.warning(
+            "checkpoint invalidated: %s was written with params_hash=%s, "
+            "resume requested with params_hash=%s — ALL work will be recomputed",
+            path, m["params_hash"], _params_hash(params),
+        )
         return wanted
     return wanted.join(completed_keys(spark, path), key, "left_anti")
+
+
+def _data_files(path: str) -> set[str]:
+    """Parquet data files directly under the stage path (side tables and
+    markers start with ``_`` and are excluded)."""
+    if not os.path.isdir(path):
+        return set()
+    return {
+        e for e in os.listdir(path)
+        if not e.startswith(("_", ".")) and os.path.isfile(os.path.join(path, e))
+    }
 
 
 def resume_stage(
@@ -134,21 +181,64 @@ def resume_stage(
     params: dict | None = None,
     key: str = "cell_id",
 ) -> DataFrame:
-    """Compute-or-reuse: run ``compute(pending)`` only for missing keys,
-    union with the checkpointed rows, rewrite the stage table."""
+    """Compute-or-reuse: run ``compute(pending)`` only for missing keys.
+
+    O(new-work) resume: the fresh rows are APPENDED to the stage table
+    as new parquet files (plus ``_keys``/``_lineage`` deltas and a new
+    manifest snapshot entry) — resuming a 10^9-tile stage with 1%
+    pending keys writes ~1% of the bytes, never a full rewrite.  The
+    commit protocol stays atomic-by-marker: the ``_SUCCESS_STAGE``
+    marker is removed before mutation and re-created after the manifest
+    lands, so a crash mid-append leaves a torn checkpoint that
+    :func:`load_manifest` flags and :func:`pending_keys` recomputes.
+    (On a real cluster this is exactly an Iceberg append snapshot.)
+    """
     todo = pending_keys(spark, wanted, path, params, key)
     m = load_manifest(path)
     if m is not None and todo.isEmpty():
         return spark.read.parquet(path)
     fresh = compute(todo)
-    if m is not None:
-        old = spark.read.parquet(path)
-        fresh = old.unionByName(fresh)
-    write_stage(fresh, path + ".next", stage, inputs, params, key)
-    # atomic swap: rename .next over the old path
-    import shutil
+    if m is None:
+        # first write (or invalidated checkpoint): full stage write via
+        # the .next + atomic-rename protocol
+        write_stage(fresh, path + ".next", stage, inputs, params, key)
+        import shutil
 
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(path + ".next", path)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(path + ".next", path)
+        return spark.read.parquet(path)
+
+    # incremental append commit
+    os.remove(os.path.join(path, SUCCESS))  # invalidate during mutation
+    before = _data_files(path)
+    fresh.write.mode("append").parquet(path)
+    new_files = sorted(_data_files(path) - before)
+    delta = spark.read.parquet(*[os.path.join(path, f) for f in new_files])
+    delta.select(key).distinct().write.mode("append").parquet(
+        os.path.join(path, KEYS_DIR)
+    )
+    delta.groupBy(F.spark_partition_id().alias("pid")).agg(
+        F.count("*").alias("rows"),
+        F.min(key).alias("min_key"),
+        F.max(key).alias("max_key"),
+    ).write.mode("append").parquet(os.path.join(path, LINEAGE_DIR))
+    d_rows = int(delta.count())
+    d_keys = int(delta.select(key).distinct().count())
+    snapshots = list(m.get("snapshots", []))
+    snapshots.append(
+        {"snapshot": len(snapshots) + 1, "written_at": time.time(),
+         "rows": d_rows, "n_keys": d_keys, "files": new_files}
+    )
+    m.update(
+        row_count=m["row_count"] + d_rows,
+        n_completed_keys=m["n_completed_keys"] + d_keys,
+        n_partitions=int(
+            spark.read.parquet(os.path.join(path, LINEAGE_DIR)).count()
+        ),
+        written_at=time.time(),
+        snapshots=snapshots,
+    )
+    _write_manifest(path, m)
+    open(os.path.join(path, SUCCESS), "w").close()
     return spark.read.parquet(path)

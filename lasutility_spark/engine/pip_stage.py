@@ -48,27 +48,34 @@ PIP_TILE_SCHEMA = (
 # per-worker-process memo of decoded broadcast feature sets: decoding the
 # WKB of ~1e5 features costs more than rasterizing one tile, so paying it
 # per (tile x feature) made the broadcast strategy O(tiles * features) in
-# Python decode time.  Keyed by the broadcast id; Spark reuses Python
-# workers (spark.python.worker.reuse), so each executor decodes once.
-_DECODED_BROADCASTS: dict[int, list] = {}
+# Python decode time.  Keyed by id() of the broadcast value; the entry
+# also holds a strong reference to that value, which (a) lets a hit be
+# verified with ``is`` and (b) pins the object so its address cannot be
+# recycled for a different broadcast while the memo entry is alive.
+# Spark reuses Python workers (spark.python.worker.reuse), so each
+# executor decodes once.
+_DECODED_BROADCASTS: dict[int, tuple[object, list]] = {}
 
 
 def _decoded_feats(b_feats) -> list:
     """Broadcast [(seq, luokka, wkb_bytes), ...] -> decoded once per worker.
 
-    Keyed by id() of the broadcast VALUE: the PySpark worker keeps one
-    loaded value per broadcast id in its registry, so the id is stable
-    across tasks in a reused worker (the Broadcast wrapper itself is
-    re-deserialized per task and is not a stable key)."""
+    Keyed by id() of the broadcast VALUE and identity-verified on hit:
+    the PySpark worker keeps one loaded value per broadcast id in its
+    registry, so the id is stable across tasks in a reused worker (the
+    Broadcast wrapper itself is re-deserialized per task and is not a
+    stable key).  The stored strong reference guarantees the id() key
+    can never alias a later, different broadcast."""
     val = b_feats.value
     key = id(val)
     got = _DECODED_BROADCASTS.get(key)
-    if got is None:
-        raw = val[0] if isinstance(val, tuple) else val
-        got = [(s, l, wkb.decode(g)) for s, l, g in raw]
-        _DECODED_BROADCASTS.clear()  # hold at most one set per worker
-        _DECODED_BROADCASTS[key] = got
-    return got
+    if got is not None and got[0] is val:
+        return got[1]
+    raw = val[0] if isinstance(val, tuple) else val
+    decoded = [(s, l, wkb.decode(g)) for s, l, g in raw]
+    _DECODED_BROADCASTS.clear()  # hold at most one set per worker
+    _DECODED_BROADCASTS[key] = (val, decoded)
+    return decoded
 
 
 def _rasterize_tile_raster(

@@ -164,8 +164,16 @@ def user_totals_stream(spark: SparkSession, events_dir: str) -> DataFrame:
 
 
 def run_stream_once(stream_df: DataFrame, checkpoint_dir: str) -> list:
-    """Drain the source with availableNow into an in-memory sink and
-    return the final rows (complete mode)."""
+    """TEST HARNESS ONLY — drain the source with availableNow into an
+    in-memory sink and return the final rows (complete mode).
+
+    .. warning::
+       Test-scale only: ``complete`` output mode keeps ALL result state
+       unbounded and the memory sink materializes every row on the
+       driver.  Production streams must use the update/append writers
+       above (``tiles_stream``-style foreachBatch or a real sink with a
+       watermark).  Kept importable because the pytest suite and the
+       driver's streaming checks share it."""
     q = (
         stream_df.writeStream.outputMode("complete")
         .format("memory")

@@ -74,6 +74,13 @@ def read_las(data: bytes):
     is three fused array ops.
     """
     h = read_header(data)
+    if h["point_format"] & 0x80:
+        # bit 7 of the format byte marks LAZ compression; parsing the
+        # compressed chunk table as raw records would yield garbage
+        # coordinates with no error.
+        raise ValueError(
+            "compressed LAZ points (format bit 7 set) — use laz.read_laz"
+        )
     fmt = h["point_format"] & 0x3F
     if fmt not in _FORMAT_SIZES:
         raise ValueError(f"unsupported point format {fmt} (0-3 supported)")
@@ -115,9 +122,18 @@ def write_las(
     oz = float(np.floor(z.min())) if n else 0.0
     sx, sy, sz = scale
     core = np.zeros(n, dtype=_CORE)
-    core["X"] = np.round((x - ox) / sx).astype(np.int64)
-    core["Y"] = np.round((y - oy) / sy).astype(np.int64)
-    core["Z"] = np.round((z - oz) / sz).astype(np.int64)
+    qx = np.round((x - ox) / sx).astype(np.int64)
+    qy = np.round((y - oy) / sy).astype(np.int64)
+    qz = np.round((z - oz) / sz).astype(np.int64)
+    for name, q in (("X", qx), ("Y", qy), ("Z", qz)):
+        if n and np.abs(q).max() >= 2**31:
+            # int64 -> int32 would wrap silently and corrupt coordinates
+            # (e.g. an extent over ~2147 km at the default 1 mm scale)
+            raise ValueError(
+                f"{name} extent exceeds int32 at scale {scale}; "
+                "widen the scale for this extent"
+            )
+        core[name] = q
     core["classification"] = np.asarray(classification, np.uint8)
     core["flags"] = 0x11  # return 1 of 1
 

@@ -20,10 +20,13 @@ def sessions_sql(dialect: str, gap_seconds: int = 1800) -> str:
     value sum.  session_id is the user's running count of gap breaks."""
     # gap test as interval comparison: Spark's timestampdiff truncates
     # elapsed time while DuckDB's date_diff counts boundary crossings —
-    # they disagree on sub-second positions.  `ts > prev + INTERVAL n
+    # they disagree on sub-second positions.  `ts >= prev + INTERVAL n
     # SECOND` is microsecond-exact calendar arithmetic in BOTH engines.
+    # `>=` (not `>`) matches the streaming twin's session_window
+    # semantics: a window spans [first, last + gap) and an event exactly
+    # at prev + gap falls OUTSIDE it, i.e. starts a new session.
     new_session = (
-        f"prev_ts IS NULL OR ts > prev_ts + INTERVAL {gap_seconds} SECOND"
+        f"prev_ts IS NULL OR ts >= prev_ts + INTERVAL {gap_seconds} SECOND"
     )
     return f"""
     WITH per_ts AS (

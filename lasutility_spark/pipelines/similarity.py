@@ -169,9 +169,13 @@ def _centroid(j: int) -> list[int]:
 
 
 def _centroid_key(dialect: str, a: str, j: int) -> str:
-    """Integer distance key of vector ``a`` (quantized x100) to centroid
-    j: S^2*|c|^2 - 2*S*dot(vq, c) with S=100 — the |vq|^2 term is
-    constant per vector and drops out of the argmin."""
+    """Partial integer distance key of vector ``a`` (quantized x100) to
+    centroid j: S^2*|c|^2 - 2*S*dot(vq, c) with S=100.  The |vq|^2 term
+    is constant per vector and drops out of the argmin, but WITHOUT it
+    the key can go negative for large embeddings, which breaks the
+    ``LEAST(key*K + j) % K`` argmin encoding — callers must add |vq|^2
+    back (see :func:`ivf_assign_sql`) so keys are true squared
+    distances |vq - S*c|^2 >= 0."""
     c = _centroid(j)
     cnorm2 = sum(v * v for v in c)
     # same arithmetic as _plane_dot but with the centroid literal
@@ -196,15 +200,23 @@ def ivf_assign_sql(dialect: str) -> str:
     integer distance keys; ties to the smallest centroid id).  The
     centroid id is the inverted-list partition key — at 10^12 scale the
     lists are the table's bucketing, and a probe touches only its list
-    (the IVF analog of the LSH bucket equi-join)."""
+    (the IVF analog of the LSH bucket equi-join).
+
+    The per-vector |vq|^2 term is added back to every key (computed once
+    in the inner subquery) so each key is the true squared distance
+    |vq - S*c|^2 >= 0 — without it, an embedding with |v| larger than
+    ~1.2 aligned with a centroid yields a negative key and the
+    ``LEAST(key*K + j) % K`` argmin encoding returns a negative or wrong
+    centroid id in BOTH dialects."""
+    vn2 = _qdot(dialect, "embedding", "embedding")
     keys = [
-        f"({_centroid_key(dialect, 'embedding', j)} * {K_CENTROIDS} + {j})"
+        f"((vn2 + {_centroid_key(dialect, 'embedding', j)}) * {K_CENTROIDS} + {j})"
         for j in range(K_CENTROIDS)
     ]
     least = "LEAST(" + ", ".join(keys) + ")"
     return (
-        f"SELECT vec_id, label, CAST(({least}) % {K_CENTROIDS} AS BIGINT) "
-        "AS centroid FROM embeddings"
+        f"SELECT vec_id, label, CAST(({least}) % {K_CENTROIDS} AS BIGINT) AS centroid "
+        f"FROM (SELECT vec_id, label, embedding, {vn2} AS vn2 FROM embeddings) e"
     )
 
 

@@ -73,6 +73,74 @@ def test_checkpoint_resume_scales_without_driver_keys(spark, tmp_path):
     assert sorted(r["cell_id"] for r in todo.collect()) == list(range(n, n + 10))
 
 
+def _stage_bytes(path):
+    """Total size + file set of the stage's data files and _keys files."""
+    total, names = 0, set()
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+            names.add(os.path.relpath(os.path.join(root, f), path))
+    return total, names
+
+
+def test_checkpoint_resume_is_o_new_work(spark, tmp_path):
+    """Resuming a 1M-row stage with 1% pending keys appends ~1% of the
+    bytes — the old data files are untouched, never rewritten."""
+    path = str(tmp_path / "incr_stage")
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.col("id").alias("cell_id"), (F.col("id") * 2).alias("v")
+    )
+    checkpoint.write_stage(df, path, "tin", ["in.parquet"], {"px": 64})
+    size0, files0 = _stage_bytes(path)
+
+    wanted = spark.range(n + n // 100).select(F.col("id").alias("cell_id"))
+
+    def compute(pending):
+        return pending.select("cell_id", (F.col("cell_id") * 2).alias("v"))
+
+    out = checkpoint.resume_stage(
+        spark, wanted, path, compute, "tin", ["in.parquet"], {"px": 64}
+    )
+    assert out.count() == n + n // 100
+    size1, files1 = _stage_bytes(path)
+    # every original data file survives byte-identical paths (no rewrite)
+    kept = {f for f in files0 if not f.startswith("_") and "/" not in f}
+    assert kept <= files1
+    # appended bytes are a small fraction of the original table
+    # (1% of rows; parquet per-file overhead allows some slack)
+    assert size1 - size0 < 0.25 * size0
+    # manifest gained an append snapshot and stayed O(1)
+    m = checkpoint.load_manifest(path)
+    assert len(m["snapshots"]) == 2
+    assert m["snapshots"][1]["n_keys"] == n // 100
+    assert m["row_count"] == n + n // 100
+    assert m["n_completed_keys"] == n + n // 100
+    assert os.path.getsize(os.path.join(path, checkpoint.MANIFEST)) < 8192
+    # a further resume with the same wanted set is a no-op
+    out2 = checkpoint.resume_stage(
+        spark, wanted, path, compute, "tin", ["in.parquet"], {"px": 64}
+    )
+    assert out2.count() == n + n // 100
+    assert len(checkpoint.load_manifest(path)["snapshots"]) == 2
+
+
+def test_torn_checkpoint_is_flagged(spark, tmp_path, caplog):
+    """A checkpoint missing its _SUCCESS_STAGE marker (torn write) is
+    recomputed AND logged as invalidated — never a silent discard."""
+    import logging
+
+    path = str(tmp_path / "torn_stage")
+    df = spark.createDataFrame(pd.DataFrame({"cell_id": [1, 2], "v": [1, 2]}))
+    checkpoint.write_stage(df, path, "tin", ["in.parquet"], {"px": 64})
+    os.remove(os.path.join(path, checkpoint.SUCCESS))  # simulate the crash
+    wanted = spark.createDataFrame(pd.DataFrame({"cell_id": [1, 2, 3]}))
+    with caplog.at_level(logging.WARNING, logger="lasutility_spark.engine.checkpoint"):
+        todo = checkpoint.pending_keys(spark, wanted, path, {"px": 64})
+    assert todo.count() == 3  # everything recomputed (correct)
+    assert any("checkpoint invalidated" in r.message for r in caplog.records)
+
+
 def test_streaming_matches_batch(spark, tmp_path):
     # the file stream source requires a directory; stage the single
     # parquet file into one
