@@ -118,34 +118,40 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def _tin_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2+T9 flagship kernel over the synthesized image table (rows-only
-    check; pixel parity is covered by pytest PSNR gates)."""
-    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
+    """T2+T9 flagship kernel over the synthesized image table.  Oracled
+    on the Delaunay-tie-independent columns (per-tile point counts from
+    the tile_stats side table, computed in closed form at generation
+    time); pixel values + triangle counts stay pytest-pinned (PSNR/
+    golden gates)."""
+    images_dir = datagen.ensure_images_table(_FIXTURE_SF)
     images = epoints.read_images(spark, images_dir)
     pts = epoints.decode_points(images)
     tiles = tin_stage.rasterize_tin_tiles(pts, px=64)
     return tiles.select(
-        "cell_id", "image_id", "w", "h", "fmt", "n_points", "n_triangles",
-        "filled_cells", "missing_cells",
+        "cell_id", "image_id", "w", "h", "n_points",
+        (F.col("filled_cells") + F.col("missing_cells")).alias("total_cells"),
     )
 
 
 def _tin_rasterize_voxel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pipeline B (A2 ground-max DEM + A8 TIN backfill) per tile."""
-    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
+    """Pipeline B (A2 ground-max DEM + A8 TIN backfill) per tile.  The
+    oracle pins the EXACT A2 plane fill count (ground-cell occupancy is
+    Delaunay-free and closed-form at datagen time); the backfilled
+    raster itself stays pytest-pinned."""
+    images_dir = datagen.ensure_images_table(_FIXTURE_SF)
     images = epoints.read_images(spark, images_dir)
     pts = epoints.decode_points(images)
     tiles = tin_stage.rasterize_tin_tiles(pts, px=64, ground_max_first=True)
-    return tiles.select(
-        "cell_id", "image_id", "n_points", "n_triangles", "filled_cells",
-        "missing_cells",
-    )
+    return tiles.select("cell_id", "image_id", "n_points", "a2_filled_cells")
 
 
 def _pip_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V1-V8 feature rasterization (cogrouped strategy) over the
-    synthesized feature tables (rows-only; parity pinned by pytest)."""
-    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
+    synthesized feature tables.  Oracle = pip_tile_stats side table:
+    the same gridlib kernel run single-process at generation time with
+    LSU_NO_NATIVE=1, so the C scanline fast path AND the cogrouped Spark
+    distribution are both cross-checked against the numpy fallback."""
+    images_dir = datagen.ensure_images_table(_FIXTURE_SF)
     images = epoints.read_images(spark, images_dir)
     from lasutility_spark.engine.tiling import cell_id_from_caption
 
@@ -240,6 +246,35 @@ def _oracle_frames(dialect: str) -> str:
     )
 
 
+def _oracle_tile_stats(dialect: str) -> str:
+    """T9 oracle: tie-independent per-tile metrics from the closed-form
+    tile_stats side table (point selection is a pure coordinate hash)."""
+    d = datagen.ensure_images_table(_FIXTURE_SF)
+    return (
+        "SELECT cell_id, image_id, w, h, n_points, total_cells "
+        f"FROM read_parquet('{d}/tile_stats.parquet')"
+    )
+
+
+def _oracle_voxel_stats(dialect: str) -> str:
+    """Pipeline-B oracle: exact A2 ground-max plane fill counts."""
+    d = datagen.ensure_images_table(_FIXTURE_SF)
+    return (
+        "SELECT cell_id, image_id, n_points, a2_filled_cells "
+        f"FROM read_parquet('{d}/tile_stats.parquet')"
+    )
+
+
+def _oracle_pip_tile_stats(dialect: str) -> str:
+    """V1-V8 oracle: per-tile applied-feature + painted-cell counts from
+    the LSU_NO_NATIVE=1 generation-time rasterization."""
+    d = datagen.ensure_images_table(_FIXTURE_SF)
+    return (
+        "SELECT cell_id, image_id, w, h, n_features, painted_cells "
+        f"FROM read_parquet('{d}/pip_tile_stats.parquet')"
+    )
+
+
 def _oracle_feature_covers(dialect: str) -> str:
     """X5 oracle: covered-cell counts in closed form from the envelope
     side table (raw-vertex bboxes recorded at datagen time — independent
@@ -321,15 +356,17 @@ _KERNEL_WITH_ORACLE = {
 
 def _tin_rasterize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T9 via the skew-salted path (north rule: dense tiles re-keyed with
-    a sub-grammar quad split + halo; sparse tiles take the normal path)."""
-    images_dir = datagen.ensure_images_table(_sf_of(sf_dir))
+    a sub-grammar quad split + halo; sparse tiles take the normal path).
+    Shares the t9 oracle: the salted path must reproduce the same
+    per-tile interior point counts (halo duplicates deduped)."""
+    images_dir = datagen.ensure_images_table(_FIXTURE_SF)
     pts = epoints.decode_points(epoints.read_images(spark, images_dir))
     tiles = tin_stage.rasterize_tin_tiles_skew(
         pts, px=64, dense_threshold=1000, halo=150.0
     )
     return tiles.select(
-        "cell_id", "image_id", "w", "h", "n_points", "n_triangles",
-        "filled_cells", "missing_cells",
+        "cell_id", "image_id", "w", "h", "n_points",
+        (F.col("filled_cells") + F.col("missing_cells")).alias("total_cells"),
     )
 
 
@@ -380,19 +417,20 @@ _KERNEL_WITH_ORACLE.update(
         "m1_image_stats": (_image_stats, _oracle_image_stats, []),
         "m2_image_resize": (_image_resize, _oracle_resize_stats, []),
         "m3_frame_sample": (_frame_sample, _oracle_frames, []),
+        "t9_tin_rasterize": (_tin_rasterize, _oracle_tile_stats, []),
+        "t9_tin_rasterize_skew": (_tin_rasterize_skew, _oracle_tile_stats, []),
+        "b_voxel_tin_backfill": (_tin_rasterize_voxel, _oracle_voxel_stats, []),
+        "v5_pip_rasterize": (_pip_rasterize, _oracle_pip_tile_stats, []),
     }
 )
 
-# No-oracle queries: raster/triangle outputs whose values are pinned by
-# the pytest golden/PSNR/parity suite instead (Delaunay triangle counts
-# are co-circular-tie dependent; full clipped-feature rasters are not
-# SQL-expressible).
+# No-oracle queries: outputs whose values are pinned by the pytest
+# golden/PSNR/parity suite instead.  Only s10 remains: Delaunay triangle
+# COUNTS are co-circular/collinear-tie dependent (grid-aligned cell
+# centers put many collinear points on hull edges), so no deterministic
+# column set exists; the .shp round-trip test pins it instead.
 _ROWS_ONLY = {
-    "t9_tin_rasterize": _tin_rasterize,
-    "t9_tin_rasterize_skew": _tin_rasterize_skew,
     "s10_triangle_features": _tin_triangle_features,
-    "b_voxel_tin_backfill": _tin_rasterize_voxel,
-    "v5_pip_rasterize": _pip_rasterize,
 }
 
 

@@ -26,6 +26,7 @@ import pandas as pd
 from .gridlib import topodb
 from .gridlib.phash import phash64
 from .gridlib.png import dem_to_png16, quantize_dem
+from .gridlib.tilenamer import cell_id as _cell_id
 from .gridlib.tilenamer import tile_decode, tile_encode
 from .gridlib.wkb import encode_linestring, encode_polygon
 
@@ -334,9 +335,109 @@ def gen_oracle_tables(
     )
 
 
+def gen_tile_stats(
+    names: list[str], px: int = 128, out_px: int = 64
+) -> pd.DataFrame:
+    """Expected per-tile TIN-stage metrics, computed directly from the
+    coordinate hashes (NOT by running the engine): point selection and
+    class assignment depend only on absolute cell-center coordinates, so
+    the counts are closed-form — the engine must reproduce them through
+    the full PNG encode -> decode -> sample -> shuffle path (and the C
+    sample_points kernel is cross-checked against this direct numpy
+    arithmetic).
+
+    Columns: n_points (T9 per-tile point count), n_ground_points,
+    a2_filled_cells (distinct ``out_px``-grid cells holding >=1 ground
+    point — the exact A2 ground-max plane fill count, Delaunay-free),
+    w/h/total_cells (the tie-independent raster frame invariants).
+    """
+    rows = []
+    for name in names:
+        minx, miny, maxx, maxy = tile_decode(name)
+        cs = (maxx - minx) / px
+        cols, rws = np.meshgrid(np.arange(px), np.arange(px))
+        ex = minx + (cols + 0.5) * cs
+        ny = miny + (rws + 0.5) * cs
+        u = hash01((ex * 100).astype(np.int64) + 7, (ny * 100).astype(np.int64))
+        rate = DENSE_RATE if is_dense_tile(name) else BASE_RATE
+        sel = u < rate
+        x = ex[sel].ravel()
+        y = ny[sel].ravel()
+        v = hash01((x * 100).astype(np.int64) + 13, (y * 100).astype(np.int64))
+        ground = v < 0.8
+        ocs = (maxx - minx) / out_px
+        gc = ((x[ground] - minx) / ocs).astype(np.int64)
+        gr = ((y[ground] - miny) / ocs).astype(np.int64)
+        a2 = int(np.unique(gr * out_px + gc).size)
+        rows.append(
+            {
+                "cell_id": np.int64(
+                    _cell_id(np.array([minx]), np.array([miny]), TILE_M)[0]
+                ),
+                "image_id": name,
+                "w": np.int32(out_px),
+                "h": np.int32(out_px),
+                "n_points": np.int32(sel.sum()),
+                "n_ground_points": np.int32(ground.sum()),
+                "a2_filled_cells": np.int32(a2),
+                "total_cells": np.int32(out_px * out_px),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def gen_pip_tile_stats(
+    names: list[str], polys: pd.DataFrame, lines: pd.DataFrame, px: int = 64
+) -> pd.DataFrame:
+    """Expected per-tile feature-rasterization metrics (V1-V8), computed
+    at generation time with the gridlib kernel forced onto the pure-numpy
+    fallback (``LSU_NO_NATIVE=1``) — so the engine's C scanline fast path
+    is cross-checked against the independent numpy arithmetic, and the
+    Spark cogrouped distribution must reproduce the per-tile loop."""
+    from .engine import pip_stage  # lazy: engine modules import datagen
+
+    feats = [
+        (int(r.seq), int(r.luokka), bytes(r.geom_wkb))
+        for r in pd.concat([polys, lines], ignore_index=True).itertuples()
+    ]
+    classmap = {**topodb.ALL_POLYGON, **topodb.ALL_LINE}
+    prev = os.environ.get("LSU_NO_NATIVE")
+    os.environ["LSU_NO_NATIVE"] = "1"
+    try:
+        rows = []
+        for name in names:
+            minx, miny, _, _ = tile_decode(name)
+            cell = int(_cell_id(np.array([minx]), np.array([miny]), TILE_M)[0])
+            raster, n_applied, _env = pip_stage._rasterize_tile_raster(
+                cell, px, TILE_M, feats, classmap
+            )
+            rows.append(
+                {
+                    "cell_id": np.int64(cell),
+                    "image_id": name,
+                    "w": np.int32(px),
+                    "h": np.int32(px),
+                    "n_features": np.int32(n_applied),
+                    "painted_cells": np.int32((raster != 0).sum()),
+                }
+            )
+    finally:
+        if prev is None:
+            os.environ.pop("LSU_NO_NATIVE", None)
+        else:
+            os.environ["LSU_NO_NATIVE"] = prev
+    return pd.DataFrame(rows)
+
+
 # table writer --------------------------------------------------------------
 
 SF_TILES = {0.001: 9, 0.01: 36, 0.1: 4096}
+
+# per-tile expected-metric side tables are only written for oracle-scale
+# fixtures: the PIP expected rasterization is a single-process numpy loop
+# (O(tiles x features)), unusable at the 4096-tile bench fixture — and
+# only the sf0.01 fixture feeds the DuckDB oracle queries.
+MAX_STATS_TILES = 256
 
 
 def ensure_images_table(
@@ -350,14 +451,22 @@ def ensure_images_table(
 
     n = n_tiles if n_tiles else SF_TILES.get(sf, max(9, int(2560 * sf)))
     out = os.path.join(base_dir, f"images_n{n}")  # content-addressed by count
-    # v3: adds envelope columns on the feature tables + tile-anchor
-    # columns on images (pushdown pruning); v2 added the oracle side
-    # tables.  Older caches regenerate in full (idempotent).
-    marker = os.path.join(out, "_SUCCESS_v3")
+    # v4: adds the tile_stats/pip_tile_stats expected-metric side tables
+    # (oracle fixtures only); v3 added envelope columns on the feature
+    # tables + tile-anchor columns on images (pushdown pruning); v2 added
+    # the multimodal oracle side tables.  A v3 cache upgrades in place
+    # (side tables only); older caches regenerate in full (idempotent).
+    marker = os.path.join(out, "_SUCCESS_v4")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
     names = tile_names(n)
+    if os.path.exists(os.path.join(out, "_SUCCESS_v3")):
+        # incremental v3 -> v4: tables are deterministic functions of the
+        # tile list, so only the new side tables need writing
+        _write_stats_tables(out, names, n)
+        open(marker, "w").close()
+        return out
     df = gen_tile_rows(names)
     schema = pa.schema(
         [
@@ -403,5 +512,28 @@ def ensure_images_table(
             pa.Table.from_pandas(frame, preserve_index=False),
             os.path.join(out, fname),
         )
+    _write_stats_tables(out, names, n)
     open(marker, "w").close()
     return out
+
+
+def _write_stats_tables(out: str, names: list[str], n: int) -> None:
+    """tile_stats + pip_tile_stats side tables (oracle fixtures only)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if n > MAX_STATS_TILES:
+        return
+    pq.write_table(
+        pa.Table.from_pandas(gen_tile_stats(names), preserve_index=False),
+        os.path.join(out, "tile_stats.parquet"),
+    )
+    pdf, ldf, _ = gen_features(
+        names, n_polygons=max(40, 8 * n), n_lines=max(40, 8 * n)
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            gen_pip_tile_stats(names, pdf, ldf), preserve_index=False
+        ),
+        os.path.join(out, "pip_tile_stats.parquet"),
+    )

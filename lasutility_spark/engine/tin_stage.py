@@ -28,10 +28,14 @@ from ..gridlib.tilenamer import cell_id_envelope, cell_id_to_name
 from ..gridlib.tin import Tin
 from .tiling import repartition_by_cell, with_cell_id
 
+# a2_filled_cells: exact fill count of the A2 ground-max plane BEFORE the
+# TIN backfill (pipeline B lineage metric; -1 on the pure-TIN pipeline A
+# paths where no A2 plane exists).  Unlike filled_cells it is
+# Delaunay-tie-independent, so it rides the DuckDB oracle.
 TILE_SCHEMA = (
     "cell_id long, image_id string, bytes binary, w int, h int, fmt string, "
     "caption string, phash long, n_points int, n_triangles int, "
-    "filled_cells int, missing_cells int"
+    "filled_cells int, missing_cells int, a2_filled_cells int"
 )
 
 DSM_CLASSES = (topodb.CLS_LOW_VEGETATION, topodb.CLS_HIGH_VEGETATION)
@@ -61,6 +65,7 @@ def _tile_kernel_factory(px: int, size_north: int, ground_max_first: bool):
         dem = np.full((px, px), np.nan, dtype=np.float32)
         tin_pts = ground if ground_max_first else slice(None)
 
+        a2_filled = 0 if ground_max_first else -1
         if ground_max_first and ground.any():
             # A2: per-cell max(z) of ground points (VoxelGrid.cs:100-107)
             row, col = bounds.proj_to_cell(x[ground], y[ground])
@@ -69,6 +74,7 @@ def _tile_kernel_factory(px: int, size_north: int, ground_max_first: bool):
             acc = np.full(px * px, -np.inf, dtype=np.float64)
             np.maximum.at(acc, flat, z[ground][ok])
             filled = acc > -np.inf
+            a2_filled = int(filled.sum())
             dem.ravel()[filled] = acc[filled].astype(np.float32)
 
         n_tri = 0
@@ -103,6 +109,7 @@ def _tile_kernel_factory(px: int, size_north: int, ground_max_first: bool):
                     "n_triangles": n_tri,
                     "filled_cells": filled_cells,
                     "missing_cells": px * px - filled_cells,
+                    "a2_filled_cells": a2_filled,
                 }
             ]
         )
@@ -179,6 +186,7 @@ def rasterize_images_fused(images: DataFrame, px: int = 128,
                         "n_triangles": n_tri,
                         "filled_cells": filled,
                         "missing_cells": px * px - filled,
+                        "a2_filled_cells": -1,
                     }
                 )
             cols = [c.split()[0] for c in TILE_SCHEMA.split(", ")]
@@ -354,6 +362,7 @@ def rasterize_tin_tiles_skew(
                     "n_triangles": n_tri,
                     "filled_cells": filled,
                     "missing_cells": px * px - filled,
+                    "a2_filled_cells": -1,
                 }
             ]
         )
