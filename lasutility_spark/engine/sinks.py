@@ -157,3 +157,54 @@ def tin_to_triangle_features(points: DataFrame, size_north: int = 1000) -> DataF
         return pd.DataFrame(rows, columns=[c.split()[0] for c in TRIANGLES_SCHEMA.split(", ")])
 
     return points.groupBy("cell_id").applyInPandas(kernel, TRIANGLES_SCHEMA)
+
+
+def write_triangle_shp(triangles: DataFrame, out_dir: str) -> list[str]:
+    """S10 file sink: triangle feature table -> one PolygonZ shapefile
+    per tile (``<out_dir>/<image_id>.shp`` + .shx/.dbf/.cpg), the exact
+    NetTopologySuite byte layout of the reference's ExportToShp
+    (DEM/Triangulation.cs:132-157; golden-parity-pinned against its
+    committed DEM.shp fixture in tests/test_sinks.py).
+
+    A shapefile is a sequential single-writer format, so each tile's
+    (small) triangle list is collected per partition via foreachPartition
+    — tiles write in parallel across partitions, nothing aggregates on
+    the driver.  Returns the written .shp paths (driver-side listing of
+    out_dir afterwards).
+    """
+    import os
+
+    from ..gridlib.shp import write_polygonz
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = ["image_id", "tri_id", "x0", "y0", "z0", "x1", "y1", "z1",
+            "x2", "y2", "z2"]
+
+    def write_partition(rows):
+        by_tile: dict[str, list] = {}
+        for r in rows:
+            by_tile.setdefault(r["image_id"], []).append(r)
+        for name, rs in by_tile.items():
+            rs.sort(key=lambda r: r["tri_id"])
+            recs = [
+                [(
+                    np.array([r["x0"], r["x1"], r["x2"]]),
+                    np.array([r["y0"], r["y1"], r["y2"]]),
+                    np.array([r["z0"], r["z1"], r["z2"]]),
+                )]
+                for r in rs
+            ]
+            write_polygonz(
+                os.path.join(out_dir, f"{name}.shp"),
+                recs,
+                ids=[r["tri_id"] for r in rs],
+            )
+
+    # one tile is produced by exactly one applyInPandas group upstream,
+    # so partition-local collection sees every triangle of its tiles
+    triangles.select(*cols).foreachPartition(write_partition)
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".shp")
+    )

@@ -1,4 +1,5 @@
-"""Minimal ESRI Shapefile (.shp + .dbf) reader, stdlib+numpy only.
+"""Minimal ESRI Shapefile (.shp + .dbf) reader AND PolygonZ writer,
+stdlib+numpy only.
 
 Implements the public ESRI Shapefile Technical Description (the .shp
 main-file record layout) and the dBASE III table layout for attributes —
@@ -154,6 +155,176 @@ def read_dbf_column(path: str, column: str) -> list:
         else:
             out.append(raw)
     return out
+
+
+def read_polygonz(path: str) -> list[list[tuple[np.ndarray, np.ndarray, np.ndarray]]]:
+    """.shp of PolygonZ (type 15) records -> per record a list of CLOSED
+    rings ``(xs, ys, zs)``, file order — the Z-preserving counterpart of
+    :func:`read_shp` used for byte-parity round trips of the reference's
+    triangle exports (DEM/Triangulation.cs:132-157 writes one PolygonZ
+    per triangle)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if struct.unpack(">i", data[0:4])[0] != 9994:
+        raise ValueError(f"{path}: not a shapefile (bad file code)")
+    file_len = struct.unpack(">i", data[24:28])[0] * 2
+    out = []
+    pos = 100
+    while pos + 8 <= min(file_len, len(data)):
+        _rec_no, content_len = struct.unpack(">2i", data[pos : pos + 8])
+        pos += 8
+        end = pos + content_len * 2
+        (stype,) = struct.unpack_from("<i", data, pos)
+        if stype != 15:
+            raise ValueError(f"{path}: record is type {stype}, want PolygonZ (15)")
+        n_parts, n_points = struct.unpack_from("<2i", data, pos + 36)
+        parts = np.frombuffer(data, dtype="<i4", count=n_parts, offset=pos + 44)
+        pts_off = pos + 44 + 4 * n_parts
+        pts = np.frombuffer(data, dtype="<f8", count=2 * n_points, offset=pts_off)
+        pts = pts.reshape(n_points, 2)
+        # z block: zmin, zmax, then n_points z values
+        z_off = pts_off + 16 * n_points
+        zs = np.frombuffer(data, dtype="<f8", count=n_points, offset=z_off + 16)
+        bounds = list(parts) + [n_points]
+        out.append(
+            [
+                (pts[a:b, 0].copy(), pts[a:b, 1].copy(), zs[a:b].copy())
+                for a, b in zip(bounds[:-1], bounds[1:])
+            ]
+        )
+        pos = end
+    return out
+
+
+_M_NODATA = struct.unpack("<d", struct.pack("<d", -1.7976931348623157e308))[0]
+# NetTopologySuite.IO.Esri writes unset measures as double.MinValue — the
+# golden DEM.shp fixture pins this exact byte pattern.
+
+
+def write_polygonz(
+    path: str,
+    records: list[list[tuple[np.ndarray, np.ndarray, np.ndarray]]],
+    ids: list[int] | None = None,
+    date: tuple[int, int, int] = (2026, 3, 13),
+) -> None:
+    """Write PolygonZ records (+ .shx, .dbf with an ``ID`` N(10) column,
+    .cpg) — the ExportToShp sink (DEM/Triangulation.cs:132-157, written
+    through NetTopologySuite.IO.Esri.Shapefile.WriteAllFeatures).
+
+    ``records``: per feature, a list of rings ``(xs, ys, zs)``; rings may
+    be open (closed automatically).  Outer rings are written clockwise
+    and holes counter-clockwise (the ESRI convention); rings already
+    oriented are passed through byte-identical, which is what makes the
+    golden-fixture round trip byte-exact.
+
+    ``date`` is the .dbf header's last-update stamp — fixed by default so
+    output bytes are deterministic (the reference fixture's stamp).
+
+    This is a sequential single-file format, hence a driver-side sink:
+    callers collect the (small) triangle table per tile first.  The
+    distributed shape is one .shp per tile, exactly like the reference's
+    one-file-per-DEM export.
+    """
+    ids = list(range(len(records))) if ids is None else list(ids)
+    if len(ids) != len(records):
+        raise ValueError("ids and records length mismatch")
+
+    rec_blobs = []
+    for rings in records:
+        closed = []
+        for i, (xs, ys, zs) in enumerate(rings):
+            xs = np.asarray(xs, np.float64)
+            ys = np.asarray(ys, np.float64)
+            zs = np.asarray(zs, np.float64)
+            if xs[0] != xs[-1] or ys[0] != ys[-1]:
+                xs = np.append(xs, xs[0])
+                ys = np.append(ys, ys[0])
+                zs = np.append(zs, zs[0])
+            # ESRI winding: outer CW (negative shoelace), holes CCW
+            area2 = _signed_area2(xs[:-1], ys[:-1])
+            want_cw = i == 0
+            if (area2 > 0) == want_cw:
+                xs, ys, zs = xs[::-1], ys[::-1], zs[::-1]
+            closed.append((xs, ys, zs))
+        n_points = sum(len(r[0]) for r in closed)
+        parts = np.cumsum([0] + [len(r[0]) for r in closed[:-1]]).astype("<i4")
+        ax = np.concatenate([r[0] for r in closed])
+        ay = np.concatenate([r[1] for r in closed])
+        az = np.concatenate([r[2] for r in closed])
+        body = bytearray()
+        body += struct.pack("<i", 15)
+        body += struct.pack(
+            "<4d", ax.min(), ay.min(), ax.max(), ay.max()
+        )
+        body += struct.pack("<2i", len(closed), n_points)
+        body += parts.tobytes()
+        xy = np.empty((n_points, 2), dtype="<f8")
+        xy[:, 0] = ax
+        xy[:, 1] = ay
+        body += xy.tobytes()
+        body += struct.pack("<2d", az.min(), az.max())
+        body += az.astype("<f8").tobytes()
+        body += struct.pack("<2d", _M_NODATA, _M_NODATA)
+        body += struct.pack("<d", _M_NODATA) * n_points
+        rec_blobs.append(bytes(body))
+
+    def _main_header(total_words: int) -> bytes:
+        if rec_blobs:
+            gx0 = min(struct.unpack_from("<4d", b, 4)[0] for b in rec_blobs)
+            gy0 = min(struct.unpack_from("<4d", b, 4)[1] for b in rec_blobs)
+            gx1 = max(struct.unpack_from("<4d", b, 4)[2] for b in rec_blobs)
+            gy1 = max(struct.unpack_from("<4d", b, 4)[3] for b in rec_blobs)
+            zoff = lambda b: 44 + 4 * struct.unpack_from("<2i", b, 36)[0] + 16 * struct.unpack_from("<2i", b, 36)[1]  # noqa: E731
+            gz0 = min(struct.unpack_from("<2d", b, zoff(b))[0] for b in rec_blobs)
+            gz1 = max(struct.unpack_from("<2d", b, zoff(b))[1] for b in rec_blobs)
+        else:
+            gx0 = gy0 = gx1 = gy1 = gz0 = gz1 = 0.0
+        h = bytearray(100)
+        struct.pack_into(">i", h, 0, 9994)
+        struct.pack_into(">i", h, 24, total_words)
+        struct.pack_into("<2i", h, 28, 1000, 15)
+        struct.pack_into("<4d", h, 36, gx0, gy0, gx1, gy1)
+        struct.pack_into("<2d", h, 68, gz0, gz1)
+        struct.pack_into("<2d", h, 84, _M_NODATA, _M_NODATA)
+        return bytes(h)
+
+    base = os.path.splitext(path)[0]
+    shp = bytearray()
+    shx_entries = bytearray()
+    offset_words = 50
+    for i, body in enumerate(rec_blobs):
+        clen_words = len(body) // 2
+        shp += struct.pack(">2i", i + 1, clen_words)
+        shp += body
+        shx_entries += struct.pack(">2i", offset_words, clen_words)
+        offset_words += 4 + clen_words
+    with open(base + ".shp", "wb") as f:
+        f.write(_main_header(50 + len(shp) // 2))
+        f.write(shp)
+    with open(base + ".shx", "wb") as f:
+        f.write(_main_header(50 + len(shx_entries) // 2))
+        f.write(shx_entries)
+
+    # dBASE III: one N(10,0) ID column, space-padded right-aligned values
+    n = len(ids)
+    dbf = bytearray()
+    dbf += bytes([0x03, date[0] - 1900, date[1], date[2]])
+    dbf += struct.pack("<i", n)
+    dbf += struct.pack("<2h", 32 + 32 + 1, 1 + 10)
+    dbf += bytes(20)
+    fld = bytearray(32)
+    fld[0:2] = b"ID"
+    fld[11] = ord("N")
+    fld[16] = 10
+    dbf += fld
+    dbf += b"\x0d"
+    for v in ids:
+        dbf += b" " + str(int(v)).rjust(10).encode("ascii")
+    dbf += b"\x1a"
+    with open(base + ".dbf", "wb") as f:
+        f.write(bytes(dbf))
+    with open(base + ".cpg", "wb") as f:
+        f.write(b"UTF-8")
 
 
 def read_shapefile(path: str, class_column: str = "LUOKKA") -> pd.DataFrame:

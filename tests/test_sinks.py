@@ -76,3 +76,60 @@ def test_tin_triangle_features(spark, images_dir):
     xs, ys = g.parts[0]
     assert len(xs) == 4 and xs[0] == xs[-1]  # closed triangle ring
     assert {"x0", "z2", "tri_id"} <= set(tris[0].asDict())
+
+
+GOLDEN_SHP_DIR = (
+    "/root/reference/LasUtility.Tests/TestFiles/Triangulation/"
+    "AddPointCloudAndTriangulate/Input"
+)
+
+
+def test_write_polygonz_golden_byte_parity(tmp_path):
+    """read the reference's committed DEM shapefile, re-write it with our
+    writer -> ALL FOUR files byte-identical (NetTopologySuite layout:
+    PolygonZ records, M = double.MinValue, CW shells, dBASE III ID
+    column, UTF-8 .cpg)."""
+    from lasutility_spark.gridlib import shp
+
+    recs = shp.read_polygonz(GOLDEN_SHP_DIR + "/DEM.shp")
+    assert len(recs) == 2939
+    out = str(tmp_path / "DEM.shp")
+    shp.write_polygonz(out, recs)
+    for ext in (".shp", ".shx", ".dbf", ".cpg"):
+        ours = open(str(tmp_path / "DEM") + ext, "rb").read()
+        golden = open(GOLDEN_SHP_DIR + "/DEM" + ext, "rb").read()
+        assert ours == golden, f"{ext} differs"
+
+
+def test_write_triangle_shp_roundtrip(spark, images_dir, tmp_path):
+    """S10 end-to-end: points -> TIN -> triangle features -> one PolygonZ
+    shapefile per tile -> reader round trip (records in tri_id order,
+    vertex sets preserved, ID attribute = tri_id)."""
+    from lasutility_spark.gridlib import shp
+
+    images = pts.read_images(spark, images_dir)
+    p = pts.decode_points(images)
+    tris = sinks.tin_to_triangle_features(p)
+    out_dir = str(tmp_path / "shp")
+    paths = sinks.write_triangle_shp(tris, out_dir)
+    rows = tris.collect()
+    by_tile = {}
+    for r in rows:
+        by_tile.setdefault(r["image_id"], []).append(r)
+    assert {p.split("/")[-1][:-4] for p in paths} == set(by_tile)
+    name, tile_rows = sorted(by_tile.items())[0]
+    tile_rows.sort(key=lambda r: r["tri_id"])
+    path = f"{out_dir}/{name}.shp"
+    feats = shp.read_shapefile(path, class_column="ID")
+    assert len(feats) == len(tile_rows)
+    assert list(feats["luokka"]) == [r["tri_id"] for r in tile_rows]
+    recs = shp.read_polygonz(path)
+    for rec, r in zip(recs, tile_rows):
+        (xs, ys, zs) = rec[0]
+        want = {(r["x0"], r["y0"], r["z0"]), (r["x1"], r["y1"], r["z1"]),
+                (r["x2"], r["y2"], r["z2"])}
+        got = set(zip(xs[:-1], ys[:-1], zs[:-1]))
+        assert got == want
+    # writer enforces the ESRI shell convention: clockwise outer rings
+    xs, ys, _ = recs[0][0]
+    assert float(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1])) <= 0
