@@ -218,8 +218,12 @@ def _image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m3: REAL video frame sampling — animated-GIF media column decoded
+    through the gridlib LZW codec, every 2nd frame kept; oracle = frame
+    stats computed from the source planes BEFORE container encoding."""
     images_dir = datagen.ensure_images_table(_FIXTURE_SF)
-    return multimodal.frame_sample_stub(epoints.read_images(spark, images_dir))
+    media = spark.read.parquet(f"{images_dir}/videos.parquet")
+    return multimodal.frame_sample(media, every_n=2)
 
 
 def _oracle_image_stats(dialect: str) -> str:
@@ -239,10 +243,13 @@ def _oracle_resize_stats(dialect: str) -> str:
 
 
 def _oracle_frames(dialect: str) -> str:
+    """m3 oracle: per-frame stats from the generation-time source planes
+    (independent of the GIF decode path), sampled every 2nd frame."""
     d = datagen.ensure_images_table(_FIXTURE_SF)
     return (
-        "SELECT media_id, frame_idx, byte_offset, frame_hash "
-        f"FROM read_parquet('{d}/frames.parquet')"
+        "SELECT media_id, frame_idx, w, h, px_sum, px_nonzero, phash "
+        f"FROM read_parquet('{d}/video_frames.parquet') "
+        "WHERE frame_idx % 2 = 0"
     )
 
 

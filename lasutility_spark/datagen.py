@@ -301,12 +301,14 @@ def _plane_stats(image_id: str, plane: np.ndarray) -> dict:
 
 
 def gen_oracle_tables(
-    names: list[str], png_bytes: list[bytes], px: int = 128,
-    resize_factor: int = 2, every_n_bytes: int = 4096,
+    names: list[str], px: int = 128, resize_factor: int = 2,
 ):
-    """(image_stats, resize_stats, frames) expected-result frames."""
-    stats_rows, resize_rows, frame_rows = [], [], []
-    for name, raw in zip(names, png_bytes):
+    """(image_stats, resize_stats) expected-result frames, computed from
+    the directly-quantized source planes (never by running the engine).
+    The former byte-window frames table is gone: video frame sampling is
+    now oracled by gen_video_tables' source-plane statistics."""
+    stats_rows, resize_rows = [], []
+    for name in names:
         q = quantize_dem(tile_dem(name, px), Z_MIN, Z_MAX)
         stats_rows.append(_plane_stats(name, q))
         f = resize_factor
@@ -315,24 +317,59 @@ def gen_oracle_tables(
             q[: hh * f, : ww * f].reshape(hh, f, ww, f).mean(axis=(1, 3))
         ).astype(q.dtype)
         resize_rows.append(_plane_stats(name, small))
-        for k, off in enumerate(range(0, len(raw), every_n_bytes)):
-            window = raw[off : off + 8].ljust(8, b"\0")
-            frame_rows.append(
+    return pd.DataFrame(stats_rows), pd.DataFrame(resize_rows)
+
+
+# video fixture: per tile, a real multi-frame GIF whose frames derive
+# deterministically from the tile's DEM plane ----------------------------
+
+N_VIDEO_FRAMES = 6
+
+
+def video_frame_plane(name: str, k: int, px: int = 128) -> np.ndarray:
+    """Frame k of a tile's synthetic clip: the 8-bit DEM plane dimmed by
+    a per-frame brightness ramp and panned horizontally — deterministic,
+    and every frame has distinct sums/hashes."""
+    g8 = (quantize_dem(tile_dem(name, px), Z_MIN, Z_MAX) >> 8).astype(np.uint8)
+    dim = ((g8.astype(np.int32) * (10 - k)) // 10).astype(np.uint8)
+    return np.roll(dim, 9 * k, axis=1)
+
+
+def gen_video_tables(
+    names: list[str], px: int = 128, n_frames: int = N_VIDEO_FRAMES
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(videos, video_frames): real animated-GIF media rows plus the
+    expected per-frame statistics computed from the SOURCE planes before
+    container encoding — the engine must reproduce them through a full
+    GIF (LZW) decode, so the oracle is independent of the decode path."""
+    from .gridlib.gif import gif_encode
+
+    vids, stats = [], []
+    for name in names:
+        planes = [video_frame_plane(name, k, px) for k in range(n_frames)]
+        vids.append(
+            {
+                "media_id": name,
+                "bytes": gif_encode(planes),
+                "n_frames": np.int32(n_frames),
+                "w": np.int32(px),
+                "h": np.int32(px),
+                "fmt": "gif",
+            }
+        )
+        for k, p in enumerate(planes):
+            stats.append(
                 {
                     "media_id": name,
                     "frame_idx": np.int32(k),
-                    "byte_offset": np.int64(off),
-                    "frame_hash": np.int64(
-                        _splitmix64(np.frombuffer(window, dtype=np.uint64))[0]
-                        .astype(np.int64)
-                    ),
+                    "w": np.int32(px),
+                    "h": np.int32(px),
+                    "px_sum": np.int64(p.astype(np.int64).sum()),
+                    "px_nonzero": np.int64((p != 0).sum()),
+                    "phash": np.int64(phash64(p)),
                 }
             )
-    return (
-        pd.DataFrame(stats_rows),
-        pd.DataFrame(resize_rows),
-        pd.DataFrame(frame_rows),
-    )
+    return pd.DataFrame(vids), pd.DataFrame(stats)
 
 
 def gen_tile_stats(
@@ -451,19 +488,22 @@ def ensure_images_table(
 
     n = n_tiles if n_tiles else SF_TILES.get(sf, max(9, int(2560 * sf)))
     out = os.path.join(base_dir, f"images_n{n}")  # content-addressed by count
-    # v4: adds the tile_stats/pip_tile_stats expected-metric side tables
-    # (oracle fixtures only); v3 added envelope columns on the feature
-    # tables + tile-anchor columns on images (pushdown pruning); v2 added
-    # the multimodal oracle side tables.  A v3 cache upgrades in place
+    # v5: adds the GIF videos table + per-frame oracle stats; v4 added
+    # the tile_stats/pip_tile_stats expected-metric side tables (oracle
+    # fixtures only); v3 added envelope columns on the feature tables +
+    # tile-anchor columns on images (pushdown pruning); v2 added the
+    # multimodal oracle side tables.  v3/v4 caches upgrade in place
     # (side tables only); older caches regenerate in full (idempotent).
-    marker = os.path.join(out, "_SUCCESS_v4")
+    marker = os.path.join(out, "_SUCCESS_v5")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
     names = tile_names(n)
-    if os.path.exists(os.path.join(out, "_SUCCESS_v3")):
-        # incremental v3 -> v4: tables are deterministic functions of the
-        # tile list, so only the new side tables need writing
+    if os.path.exists(os.path.join(out, "_SUCCESS_v3")) or os.path.exists(
+        os.path.join(out, "_SUCCESS_v4")
+    ):
+        # incremental upgrade: tables are deterministic functions of the
+        # tile list, so only the missing side tables need writing
         _write_stats_tables(out, names, n)
         open(marker, "w").close()
         return out
@@ -502,11 +542,10 @@ def ensure_images_table(
         pa.Table.from_pandas(edf, preserve_index=False),
         os.path.join(out, "feature_envelopes.parquet"),
     )
-    sdf, rdf, fdf = gen_oracle_tables(names, [bytes(b) for b in df["bytes"]])
+    sdf, rdf = gen_oracle_tables(names)
     for fname, frame in (
         ("image_stats.parquet", sdf),
         ("resize_stats.parquet", rdf),
-        ("frames.parquet", fdf),
     ):
         pq.write_table(
             pa.Table.from_pandas(frame, preserve_index=False),
@@ -518,22 +557,40 @@ def ensure_images_table(
 
 
 def _write_stats_tables(out: str, names: list[str], n: int) -> None:
-    """tile_stats + pip_tile_stats side tables (oracle fixtures only)."""
+    """tile_stats/pip_tile_stats/videos side tables (oracle fixtures
+    only — the driver's DuckDB correctness gate reads the sf0.01
+    fixture; the 4096-tile bench fixture never needs them)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     if n > MAX_STATS_TILES:
         return
-    pq.write_table(
-        pa.Table.from_pandas(gen_tile_stats(names), preserve_index=False),
-        os.path.join(out, "tile_stats.parquet"),
-    )
-    pdf, ldf, _ = gen_features(
-        names, n_polygons=max(40, 8 * n), n_lines=max(40, 8 * n)
-    )
-    pq.write_table(
-        pa.Table.from_pandas(
-            gen_pip_tile_stats(names, pdf, ldf), preserve_index=False
-        ),
-        os.path.join(out, "pip_tile_stats.parquet"),
-    )
+
+    def _put(fname: str, frame: pd.DataFrame, schema=None) -> None:
+        if os.path.exists(os.path.join(out, fname)):
+            return
+        pq.write_table(
+            pa.Table.from_pandas(frame, schema=schema, preserve_index=False),
+            os.path.join(out, fname),
+        )
+
+    _put("tile_stats.parquet", gen_tile_stats(names))
+    if not os.path.exists(os.path.join(out, "pip_tile_stats.parquet")):
+        pdf, ldf, _ = gen_features(
+            names, n_polygons=max(40, 8 * n), n_lines=max(40, 8 * n)
+        )
+        _put("pip_tile_stats.parquet", gen_pip_tile_stats(names, pdf, ldf))
+    if not os.path.exists(os.path.join(out, "videos.parquet")):
+        vdf, vfdf = gen_video_tables(names)
+        vschema = pa.schema(
+            [
+                ("media_id", pa.string()),
+                ("bytes", pa.binary()),
+                ("n_frames", pa.int32()),
+                ("w", pa.int32()),
+                ("h", pa.int32()),
+                ("fmt", pa.string()),
+            ]
+        )
+        _put("videos.parquet", vdf, vschema)
+        _put("video_frames.parquet", vfdf)

@@ -1,9 +1,11 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image decode is REAL here (the gridlib PNG codec); audio/video decode is
-STUBBED behind a deterministic fake (this container ships no media
-libraries) — the Spark-side plumbing (schema, Arrow batching,
-partitioning, UDF signatures) is production-shaped and tested.
+Image decode is REAL here (the gridlib PNG codec), and so is video frame
+sampling (the gridlib GIF/LZW codec) — no media libraries, both
+containers implemented from their public specs.  The Spark-side plumbing
+(schema, Arrow batching, partitioning, UDF signatures) is the production
+shape: swap the codec call for PyAV/ffmpeg on a cluster with richer
+codecs and nothing else changes.
 """
 
 from __future__ import annotations
@@ -86,38 +88,45 @@ def image_resize(images: DataFrame, factor: int = 2) -> DataFrame:
 
 
 FRAME_SCHEMA = (
-    "media_id string, frame_idx int, byte_offset bigint, frame_hash bigint"
+    "media_id string, frame_idx int, w int, h int, px_sum bigint, "
+    "px_nonzero bigint, phash bigint"
 )
 
 
-def frame_sample_stub(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
-    """STUB video frame sampler: real decoders are unavailable in this
-    container, so 'frames' are deterministic fixed-stride byte windows
-    hashed with splitmix64.  The Spark plumbing (schema, batching,
-    per-media fan-out) is the real production shape; swap the body for a
-    PyAV/ffmpeg call on a cluster with codecs installed."""
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampler: decode the GIF container (gridlib's
+    pure-numpy LZW codec), keep every ``every_n``-th frame, emit integer
+    pixel statistics per sampled frame.
+
+    The frame-sampling shape for a 10^12-row media table: mapInPandas
+    over a column-pruned (media_id, bytes) scan, one Arrow batch of
+    containers per task, no shuffle — decode cost parallelizes with the
+    scan.  The oracle side table is computed from the source planes at
+    generation time, so this path proves container decode, not plumbing.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..datagen import _splitmix64
+        from ..gridlib.gif import gif_decode_gray
 
         for pdf in batches:
             out = []
-            for mid, data in zip(pdf["image_id"], pdf["bytes"]):
-                raw = bytes(data)
-                for k, off in enumerate(range(0, len(raw), every_n_bytes)):
-                    window = raw[off : off + 8].ljust(8, b"\0")
-                    h = int(
-                        _splitmix64(np.frombuffer(window, dtype=np.uint64))[0]
-                        .astype(np.int64)
-                    )
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                for k, fr in enumerate(gif_decode_gray(bytes(data))):
+                    if k % every_n:
+                        continue
                     out.append(
                         {
                             "media_id": mid,
                             "frame_idx": k,
-                            "byte_offset": off,
-                            "frame_hash": h,
+                            "w": fr.shape[1],
+                            "h": fr.shape[0],
+                            "px_sum": int(fr.astype(np.int64).sum()),
+                            "px_nonzero": int((fr != 0).sum()),
+                            "phash": phash64(fr),
                         }
                     )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                columns=[c.split()[0] for c in FRAME_SCHEMA.split(", ")]
+            )
 
-    return media.select("image_id", "bytes").mapInPandas(run, FRAME_SCHEMA)
+    return media.select("media_id", "bytes").mapInPandas(run, FRAME_SCHEMA)

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+from lasutility_spark import datagen
 from lasutility_spark.datagen import (
     ensure_images_table,
     gen_tile_rows,
@@ -159,3 +160,92 @@ def test_png_rgb8_mirrored_sink():
     assert tuple(img[3, 0]) == (7, 7, 7)
     assert tuple(img[0, 2]) == (99, 99, 99)
     assert img.sum() == 3 * (7 + 99)
+
+
+# --- GIF (LZW) codec: the real m3 video container ------------------------
+
+
+def test_lzw_roundtrip_all_regimes():
+    from lasutility_spark.gridlib.gif import lzw_decode, lzw_encode
+
+    rng = np.random.RandomState(7)
+    for n in [0, 1, 10, 255, 256, 258, 511, 512, 513, 5000, 300000]:
+        b = rng.randint(0, 256, n).astype(np.uint8)
+        assert np.array_equal(b, lzw_decode(lzw_encode(b))), n
+    # highly compressible (deep dictionary chains)
+    b = np.tile(np.arange(16, dtype=np.uint8), 5000)
+    assert np.array_equal(b, lzw_decode(lzw_encode(b)))
+
+
+def test_lzw_decode_spec_pinned_streams():
+    """Handcrafted bit streams straight from the GIF89a spec — pins the
+    decoder independently of our encoder (no matched-bug blind spot)."""
+    from lasutility_spark.gridlib.gif import lzw_decode
+
+    def pack(codes):
+        acc = nb = 0
+        out = bytearray()
+        for c, s in codes:
+            acc |= c << nb
+            nb += s
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+        if nb:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # clear, literals, eoi
+    got = lzw_decode(pack([(256, 9), (5, 9), (6, 9), (7, 9), (257, 9)]), 8)
+    assert got.tolist() == [5, 6, 7]
+    # dictionary reference: 258 == [1, 2]
+    got = lzw_decode(pack([(256, 9), (1, 9), (2, 9), (258, 9), (257, 9)]), 8)
+    assert got.tolist() == [1, 2, 1, 2]
+    # the cScSc special case: code == next_code (259 built from its own
+    # prefix) -> entry = prev + prev[0]
+    got = lzw_decode(
+        pack([(256, 9), (1, 9), (2, 9), (258, 9), (260, 9), (257, 9)]), 8
+    )
+    assert got.tolist() == [1, 2, 1, 2, 1, 2, 1]
+    # mid-stream clear resets table and code width
+    got = lzw_decode(
+        pack([(256, 9), (1, 9), (2, 9), (256, 9), (3, 9), (257, 9)]), 8
+    )
+    assert got.tolist() == [1, 2, 3]
+
+
+def test_gif_container_roundtrip():
+    from lasutility_spark.gridlib.gif import gif_decode, gif_decode_gray, gif_encode
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (40, 56)).astype(np.uint8) for _ in range(4)]
+    frames.append(np.zeros((40, 56), np.uint8))
+    data = gif_encode(frames, delay_cs=4)
+    assert data[:6] == b"GIF89a" and data[-1:] == b"\x3b"
+    dec = gif_decode_gray(data)
+    assert len(dec) == 5
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)
+    _, pal = gif_decode(data)
+    assert pal.shape == (256, 3) and np.array_equal(pal[:, 0], np.arange(256))
+
+
+def test_video_fixture_oracle_independence():
+    """The video_frames oracle rows come from the SOURCE planes; decoding
+    the written GIF must reproduce them exactly (container proof, not
+    plumbing)."""
+    from lasutility_spark.gridlib.gif import gif_decode_gray
+    from lasutility_spark.gridlib.phash import phash64
+
+    names = datagen.tile_names(2)
+    vids, stats = datagen.gen_video_tables(names)
+    for _, v in vids.iterrows():
+        frames = gif_decode_gray(bytes(v["bytes"]))
+        assert len(frames) == v["n_frames"]
+        sub = stats[stats["media_id"] == v["media_id"]]
+        for k, fr in enumerate(frames):
+            row = sub[sub["frame_idx"] == k].iloc[0]
+            assert int(fr.astype(np.int64).sum()) == row["px_sum"]
+            assert int((fr != 0).sum()) == row["px_nonzero"]
+            assert phash64(fr) == row["phash"]
