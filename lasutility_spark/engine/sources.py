@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..gridlib.las import read_las_file
+from ..gridlib.laz import read_laz_file
 from ..gridlib.shp import read_shapefile
 from .points import POINTS_SCHEMA
 
@@ -28,14 +29,20 @@ FEATURE_SCHEMA = "feature_id long, geom_wkb binary, luokka long, seq long"
 
 
 def read_las_points(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """LAS files -> points(x, y, z, cls), one scan task per file."""
+    """LAS/LAZ files -> points(x, y, z, cls), one scan task per file.
+
+    Compressed .laz files route through the pure-Python LASzip
+    decompressor (gridlib/laz.py); at scale each LAZ *chunk* is an
+    independently decodable unit, so a large file shards by chunk-table
+    offsets the same way this shards by file."""
     path_df = spark.createDataFrame([(p,) for p in paths], "path string")
     path_df = path_df.repartition(max(1, min(len(paths), 256)))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for p in pdf["path"]:
-                _h, x, y, z, cls = read_las_file(p)
+                reader = read_laz_file if p.endswith(".laz") else read_las_file
+                _h, x, y, z, cls = reader(p)
                 yield pd.DataFrame(
                     {"x": x, "y": y, "z": z, "cls": cls.astype("int8")}
                 )
