@@ -144,9 +144,9 @@ def _assemble(out: np.ndarray, h: int, w: int, depth: int, ctype: int) -> np.nda
         return out.reshape(h, w, 3)
     if depth == 8:
         return out.reshape(h, w)
-    return out.reshape(h, w, 2).astype(np.uint16)[:, :, 0] * 256 + out.reshape(
-        h, w, 2
-    ).astype(np.uint16)[:, :, 1]
+    # 16-bit: network byte order -> native in ONE byteswap pass (the
+    # two-plane astype+mul+add form cost ~10x this)
+    return out.reshape(h, 2 * w).view(">u2").astype(np.uint16)
 
 
 def quantize_dem(dem: np.ndarray, z_min: float, z_max: float) -> np.ndarray:

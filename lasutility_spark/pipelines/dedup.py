@@ -141,12 +141,14 @@ def minhash_bands_spark(spark, rows_per_band: int = K_MINHASH // BANDS):
     def sig_udf(text: pd.Series) -> pd.Series:
         import numpy as np
 
+        # all K permutations in ONE broadcasted numpy pass per doc
+        # (K x m intermediate; a, sh < 2^31 so a*sh < 2^62 fits int64)
+        A = np.asarray(a_arr, dtype=np.int64)[:, None]
+        B = np.asarray(b_arr, dtype=np.int64)[:, None]
         out = []
         for t in text:
-            sh = _shingle_hash_numpy(t)
-            out.append(
-                [int(((a * sh + b) % P31).min()) for a, b in zip(a_arr, b_arr)]
-            )
+            sh = _shingle_hash_numpy(t)[None, :]
+            out.append(((A * sh + B) % P31).min(axis=1).tolist())
         return pd.Series(out)
 
     docs = spark.table("documents").select("doc_id", sig_udf("text").alias("mh"))
@@ -163,7 +165,12 @@ def minhash_bands_spark(spark, rows_per_band: int = K_MINHASH // BANDS):
 
 
 def minhash_pairs_spark(spark):
-    bands = minhash_bands_spark(spark)
+    # persist the band table: both branches of the bucket self-join read
+    # it, and without the cache Spark recomputes the signature UDF twice.
+    # At 10^12 scale the signature/band table is MATERIALIZED once (a
+    # stored column family / parquet table) and every dedup probe joins
+    # against it — persist() is the sandbox analog of that design.
+    bands = minhash_bands_spark(spark).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     from pyspark.sql import functions as F
