@@ -182,10 +182,14 @@ def run_once() -> dict:
         )
     classmap = {**topodb.ALL_POLYGON, **topodb.ALL_LINE}
 
-    # fused tile-level PIP: feature rasterization + per-tile point decode
-    # + raster lookup in one cogroup — points never cross the shuffle
+    # join-attach tile-level PIP: per-cell feature lists broadcast-joined
+    # onto the image rows JVM-side, then ONE narrow mapInPandas (feature
+    # rasterization + per-tile point decode + raster lookup) — points
+    # never exist as rows and the image side never exchanges.  The
+    # cogrouped classify_images_fused is the beyond-broadcast fallback
+    # (identical output, pinned in tests).
     def q2():
-        return pip_stage.classify_images_fused(images, feats, classmap, px=128)
+        return pip_stage.classify_images_joined(images, feats, classmap, px=128)
 
     n_points = timed(
         "q2_pip_join",

@@ -420,6 +420,95 @@ def classify_images_fused(
     )
 
 
+def classify_images_joined(
+    images: DataFrame,
+    features: DataFrame,
+    classmap: dict[int, int],
+    px: int = 128,
+    size_north: int = 1000,
+) -> DataFrame:
+    """Join-attach strategy of the tile PIP classification — the fastest
+    shape measured when the per-tile feature lists fit a broadcast.
+
+    The exploded covers (X5) are grouped per cell into a feature-list
+    column and BROADCAST-JOINED onto the image rows JVM-side; the kernel
+    then runs as ONE narrow ``mapInPandas`` over the image table — no
+    cogroup, no exchange on the heavy image side at all, and the
+    per-group Arrow framing of the cogroup (measured ~2x the mapInPandas
+    framing on this host) disappears.  WKB decode is memoized per worker
+    since features repeat across the tiles they cover.
+
+    Strategy ladder (all three produce identical rows, pinned in tests):
+    - :func:`classify_images_broadcast` — whole feature set broadcast,
+      per-tile bbox scan in the kernel: best when features are tiny.
+    - **this** — per-cell lists broadcast, JVM join prunes per tile:
+      best while sum(covers) fits a broadcast (~10 MB-1 GB).
+    - :func:`classify_images_fused` — cogroup equi-join on cell_id:
+      the unbounded-scale fallback (feature side shuffles, image side
+      reuses caller partitioning).
+    """
+    import numpy as np
+
+    from .. import datagen as dg
+    from ..gridlib import wkb as W
+    from ..gridlib.png import png16_to_dem
+
+    if "cell_id" not in images.columns:
+        from .tiling import cell_id_from_caption
+
+        images = images.withColumn("cell_id", cell_id_from_caption(size_north))
+    covers = explode_feature_covers(features, size_north)
+    per_cell = covers.groupBy("cell_id").agg(
+        F.collect_list(F.struct("seq", "luokka", "geom_wkb")).alias("fl")
+    )
+    cmap = dict(classmap)
+    img = images.select("cell_id", "caption", "bytes").join(
+        F.broadcast(per_cell), "cell_id", "left"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[bytes, object] = {}
+        for pdf in batches:
+            out = []
+            for cell, cap, data, fl in zip(
+                pdf["cell_id"], pdf["caption"], pdf["bytes"], pdf["fl"]
+            ):
+                name, minx, miny, maxx, maxy, cs, _ = dg.parse_caption(cap)
+                fls = []
+                if fl is not None:
+                    for r in fl:
+                        gb = bytes(r["geom_wkb"])
+                        g = memo.get(gb)
+                        if g is None:
+                            g = memo[gb] = W.decode(gb)
+                        fls.append((int(r["seq"]), int(r["luokka"]), g))
+                raster, _n, _env = _rasterize_tile_raster(
+                    int(cell), px, size_north, fls, cmap
+                )
+                dem = png16_to_dem(bytes(data), dg.Z_MIN, dg.Z_MAX)
+                x, y, _z, _c = dg.sample_points_from_tile(name, dem, minx, miny, cs)
+                rcs = (maxx - minx) / raster.shape[1]
+                row = ((y - miny) / rcs).astype(np.int64)
+                col = ((x - minx) / rcs).astype(np.int64)
+                uv, cnt = np.unique(raster[row, col], return_counts=True)
+                for v, n in zip(uv, cnt):
+                    out.append(
+                        {
+                            "cell_id": int(cell),
+                            "image_id": name,
+                            "value": int(v),
+                            "n_points": int(n),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["cell_id", "image_id", "value", "n_points"]
+            )
+
+    return img.mapInPandas(
+        run, "cell_id long, image_id string, value int, n_points long"
+    )
+
+
 def classify_images_broadcast(
     spark: SparkSession,
     images: DataFrame,

@@ -294,3 +294,10 @@ def test_classify_broadcast_matches_cogrouped(spark, images_dir):
         ).collect()
     }
     assert a == b and len(a) > 0
+    c = {
+        (r["cell_id"], r["value"]): r["n_points"]
+        for r in pip_stage.classify_images_joined(
+            images, feats, cm, px=64
+        ).collect()
+    }
+    assert a == c

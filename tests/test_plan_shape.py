@@ -78,3 +78,25 @@ def test_cogroup_reuses_image_side_partitioning(spark, images_dir):
     img_side = plan[cogroup_at : plan.index("InMemoryTableScan", cogroup_at)]
     assert "Exchange" not in img_side
     images.unpersist()
+
+
+def test_joined_classify_never_exchanges_images(spark, images_dir):
+    """classify_images_joined: the heavy image side must reach the
+    mapInPandas kernel through a BROADCAST hash join — zero Exchange
+    anywhere on the image path (only the small per-cell feature-list
+    side broadcasts)."""
+    images = epoints.read_images(spark, images_dir).withColumn(
+        "cell_id", cell_id_from_caption(1000)
+    )
+    feats = spark.read.parquet(f"{images_dir}/polygons.parquet")
+    from lasutility_spark.gridlib import topodb
+
+    df = pip_stage.classify_images_joined(images, feats, topodb.ALL_POLYGON, px=32)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the streamed (image) subtree is printed between the join node and
+    # the build side's BroadcastExchange: no shuffle Exchange allowed
+    # there (the feature side may shuffle — it is tiny by construction)
+    join_at = plan.index("BroadcastHashJoin")
+    img_branch = plan[join_at : plan.index("BroadcastExchange", join_at)]
+    assert "Exchange hashpartitioning" not in img_branch, img_branch
