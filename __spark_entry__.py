@@ -313,6 +313,7 @@ _RELATIONAL: dict[str, tuple[Callable[[str], str], list[str]]] = {
     "a7_neighborhood_max": (geosql.neighborhood_max_sql, ["lineitem"]),
     "s4_extent": (geosql.extent_sql, ["lineitem"]),
     "v5_pip_literal": (geosql.pip_literal_sql, ["lineitem"]),
+    "t5_knn_interp": (geosql.knn_interp_sql, ["lineitem"]),
     "v1_classmap_union": (geosql.classmap_union_sql, []),
     "v2_classmap_semijoin": (geosql.classmap_semijoin_sql, ["lineitem"]),
     "x2_tile_envelope_arith": (geosql.tile_envelope_sql, ["lineitem"]),

@@ -218,6 +218,67 @@ _PIP_POLY = [
 ]
 
 
+def knn_interp_sql(dialect: str, k: int = 4, sample_mod: int = 97) -> str:
+    """T5/T8 kNN surface interpolation (the north star's "nearest-
+    neighbor (kNN) surface interpolation") as a bounded relational plan:
+    for a deterministic sample of occupied cells, take the ``k`` nearest
+    GROUND points within the same 1 km tile and blend them with integer
+    rank weights ``k - rank + 1`` (an IDW analog whose arithmetic is
+    exact in both engines — true 1/d^2 weights would divide floats).
+
+    Exactness: distances are quantized ``floor(d * 64)`` per axis before
+    squaring (pure int64 from there), ties broken by (x, y); the final
+    blend divides two int sums < 2^53, so the double division is exact.
+    At scale the tile equi-join IS the partition pruning — each cell
+    only ever meets its own tile's points (the T3/T5 grid-index
+    contract), so the pair count is sum(points_per_tile * sampled
+    cells_per_tile), never |cells| x |points|.
+    """
+    return _with_points(
+        f"""
+    , cells AS (
+      SELECT DISTINCT {_CELL} AS cell_id, {_ROW} AS cell_row, {_COL} AS cell_col,
+        FLOOR((x - (-76000.0)) / 1000.0) * 1000.0 + (-76000.0)
+          + {_COL} * 7.8125e0 + 3.90625e0 AS cx,
+        FLOOR((y - 6570000.0) / 1000.0) * 1000.0 + 6570000.0
+          + {_ROW} * 7.8125e0 + 3.90625e0 AS cy
+      FROM points
+    ),
+    sample_cells AS (
+      SELECT * FROM cells
+      WHERE (cell_row * 131 + cell_col * 17) % {sample_mod} = 0
+    ),
+    ranked AS (
+      SELECT c.cell_id, c.cell_row, c.cell_col,
+             CAST(FLOOR(p.z * 1000.0) AS BIGINT) AS z_x1000,
+             CAST(FLOOR((p.x - c.cx) * 64.0) AS BIGINT)
+               * CAST(FLOOR((p.x - c.cx) * 64.0) AS BIGINT)
+             + CAST(FLOOR((p.y - c.cy) * 64.0) AS BIGINT)
+               * CAST(FLOOR((p.y - c.cy) * 64.0) AS BIGINT) AS d2q,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.cell_id, c.cell_row, c.cell_col
+               ORDER BY CAST(FLOOR((p.x - c.cx) * 64.0) AS BIGINT)
+                          * CAST(FLOOR((p.x - c.cx) * 64.0) AS BIGINT)
+                        + CAST(FLOOR((p.y - c.cy) * 64.0) AS BIGINT)
+                          * CAST(FLOOR((p.y - c.cy) * 64.0) AS BIGINT),
+                        p.x, p.y
+             ) AS rnk
+      FROM sample_cells c
+      JOIN points p
+        ON {_CELL.replace('x', 'p.x').replace('y', 'p.y')} = c.cell_id
+       AND p.cls = 2
+    )
+    SELECT cell_id, cell_row, cell_col,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(MIN(d2q) AS BIGINT) AS min_d2q,
+           CAST(FLOOR(CAST(SUM(({k} - rnk + 1) * z_x1000) AS DOUBLE)
+                      / SUM({k} - rnk + 1)) AS BIGINT) AS knn_z_x1000
+    FROM ranked WHERE rnk <= {k}
+    GROUP BY cell_id, cell_row, cell_col
+    """
+    )
+
+
 def pip_literal_sql(dialect: str) -> str:
     """V5-analog: PIP join of all points against a literal convex polygon
     via the all-same-side cross-product test (boundary-inclusive, like
