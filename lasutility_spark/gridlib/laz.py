@@ -607,8 +607,20 @@ def read_laz(data: bytes):
             )
     n = header["point_count"]
     pos = header["offset_to_points"]
+    chunk_starts: list[int] | None = None
     if vlr["compressor"] == 2:  # chunked: chunk table offset precedes data
+        (table_off,) = struct.unpack_from("<q", data, pos)
         pos += 8
+        # our own writer emits a RAW chunk-size table (version 1 marker);
+        # real laszip tables are arithmetic-coded (version 0) and are not
+        # needed for the single-chunk case — sequential decode covers it
+        if 0 < table_off <= len(data) - 8:
+            ver, cnt = struct.unpack_from("<2I", data, table_off)
+            if ver == 1 and 0 < cnt <= 1 + n // max(vlr["chunk_size"], 1):
+                sizes = struct.unpack_from(f"<{cnt}I", data, table_off + 8)
+                chunk_starts = [pos]
+                for s in sizes[:-1]:
+                    chunk_starts.append(chunk_starts[-1] + s)
     chunk_size = vlr["chunk_size"] if vlr["compressor"] == 2 else n
 
     has_gps = any(t == ITEM_GPSTIME11 for t, _s, _v in vlr["items"])
@@ -620,8 +632,20 @@ def read_laz(data: bytes):
     gps = np.zeros(n, np.float64)
 
     i = 0
+    chunk_idx = 0
     while i < n:
         count = min(chunk_size, n - i)
+        if chunk_starts is not None:
+            if chunk_idx >= len(chunk_starts):
+                raise ValueError("chunk table shorter than point count implies")
+            pos = chunk_starts[chunk_idx]
+        elif i > 0:
+            raise ValueError(
+                "multi-chunk LAZ without a parsable chunk table: sequential "
+                "decode cannot locate chunk boundaries (the arithmetic "
+                "decoder's byte lookahead makes dec.pos inexact) — "
+                "laszip-native arithmetic-coded chunk tables are out of scope"
+            )
         # chunk: raw first point (all items), then arithmetic-coded rest
         raw10 = data[pos : pos + 20]
         pos += 20
@@ -646,6 +670,7 @@ def read_laz(data: bytes):
                 gps[j] = gpsr.read()
         pos = dec.pos
         i += count
+        chunk_idx += 1
 
     sx, sy, sz = header["scale"]
     ox, oy, oz = header["offset"]
@@ -657,3 +682,514 @@ def read_laz(data: bytes):
 def read_laz_file(path: str):
     with open(path, "rb") as f:
         return read_laz(f.read())
+
+
+# --- encoder side (LAZ writer) --------------------------------------------
+#
+# Mirror of the decoder: FastAC-style arithmetic encoder with carry
+# propagation, the k-bit corrector compress path, POINT10/GPSTIME11 v2
+# write logic.  The reference's own writer is an empty stub
+# (LAS/LasZipNetWriter.cs), so this exceeds reference parity; its value
+# here is (a) a compressed point sink and (b) pinning the decoder's
+# multi-chunk path via round trips (the only real fixture is one chunk).
+
+
+class ArithmeticEncoder:
+    __slots__ = ("out", "base", "length")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.base = 0
+        self.length = AC_MAX_LENGTH
+
+    def _propagate_carry(self) -> None:
+        i = len(self.out) - 1
+        while i >= 0 and self.out[i] == 0xFF:
+            self.out[i] = 0
+            i -= 1
+        if i >= 0:
+            self.out[i] += 1
+
+    def _renorm(self) -> None:
+        while True:
+            self.out.append((self.base >> 24) & 0xFF)
+            self.base = (self.base << 8) & _U32
+            self.length = (self.length << 8) & _U32
+            if self.length >= AC_MIN_LENGTH:
+                break
+
+    def encode_bit(self, m: ArithmeticBitModel, bit: int) -> None:
+        x = m.bit_0_prob * (self.length >> BM_LENGTH_SHIFT)
+        if bit == 0:
+            self.length = x
+            m.bit_0_count += 1
+        else:
+            init_base = self.base
+            self.base = (self.base + x) & _U32
+            self.length -= x
+            if init_base > self.base:
+                self._propagate_carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.bits_until_update -= 1
+        if m.bits_until_update == 0:
+            m.update()
+
+    def encode_symbol(self, m: ArithmeticModel, sym: int) -> None:
+        init_base = self.base
+        if sym == m.symbols - 1:
+            x = m.distribution[sym] * (self.length >> DM_LENGTH_SHIFT)
+            self.base = (self.base + x) & _U32
+            self.length -= x
+        else:
+            self.length >>= DM_LENGTH_SHIFT
+            x = m.distribution[sym] * self.length
+            self.base = (self.base + x) & _U32
+            self.length = m.distribution[sym + 1] * self.length - x
+        if init_base > self.base:
+            self._propagate_carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.symbol_count[sym] += 1
+        m.symbols_until_update -= 1
+        if m.symbols_until_update == 0:
+            m.update()
+
+    def write_bits(self, bits: int, sym: int) -> None:
+        if bits > 19:
+            self.write_short(sym & 0xFFFF)
+            sym >>= 16
+            bits -= 16
+        init_base = self.base
+        self.length >>= bits
+        self.base = (self.base + sym * self.length) & _U32
+        if init_base > self.base:
+            self._propagate_carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+
+    def write_short(self, sym: int) -> None:
+        init_base = self.base
+        self.length >>= 16
+        self.base = (self.base + sym * self.length) & _U32
+        if init_base > self.base:
+            self._propagate_carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+
+    def write_int(self, v: int) -> None:
+        self.write_short(v & 0xFFFF)
+        self.write_short((v >> 16) & 0xFFFF)
+
+    def done(self) -> bytes:
+        init_base = self.base
+        if self.length > 2 * AC_MIN_LENGTH:
+            self.base = (self.base + AC_MIN_LENGTH) & _U32
+            self.length = AC_MIN_LENGTH >> 1
+        else:
+            self.base = (self.base + (AC_MIN_LENGTH >> 1)) & _U32
+            self.length = AC_MIN_LENGTH >> 9
+        if init_base > self.base:
+            self._propagate_carry()
+        self._renorm()
+        return bytes(self.out)
+
+
+class IntegerCompressorEnc(IntegerCompressor):
+    """Compress side sharing the decoder's model layout (the adaptive
+    models must evolve identically on both sides)."""
+
+    def __init__(self, enc: "ArithmeticEncoder", bits: int = 32,
+                 contexts: int = 1, bits_high: int = 8) -> None:
+        super().__init__(None, bits, contexts, bits_high)
+        self.enc = enc
+
+    def compress(self, pred: int, real: int, context: int = 0) -> None:
+        corr = real - pred
+        if self.corr_range:
+            corr_max = self.corr_min + self.corr_range - 1
+            if corr < self.corr_min:
+                corr += self.corr_range
+            elif corr > corr_max:
+                corr -= self.corr_range
+        else:  # 32-bit int wraparound
+            corr &= _U32
+            if corr >= 0x80000000:
+                corr -= 1 << 32
+        self._write_corrector(corr, context)
+
+    def _write_corrector(self, c: int, context: int) -> None:
+        enc = self.enc
+        # tightest interval [-(2^k - 1), 2^k] containing c
+        k = 0
+        c1 = -c if c <= 0 else c - 1
+        while c1:
+            c1 >>= 1
+            k += 1
+        self.k = k
+        enc.encode_symbol(self.m_bits[context], k)
+        if k:
+            if k < 32:
+                if c >= 0:  # c in [2^(k-1)+1 .. 2^k] -> [2^(k-1) .. 2^k-1]
+                    c -= 1
+                else:  # c in [-(2^k-1) .. -2^(k-1)] -> [0 .. 2^(k-1)-1]
+                    c += (1 << k) - 1
+                if k <= self.bits_high:
+                    enc.encode_symbol(self.m_corrector[k], c)
+                else:
+                    k1 = k - self.bits_high
+                    enc.encode_symbol(self.m_corrector[k], c >> k1)
+                    enc.write_bits(k1, c & ((1 << k1) - 1))
+        else:
+            enc.encode_bit(self.m_corrector0, c)
+
+
+class Point10V2Writer:
+    def __init__(self, enc: ArithmeticEncoder, first: bytes) -> None:
+        self.enc = enc
+        (x, y, z, _inten, flags, classification, scan_angle, user_data,
+         psid) = struct.unpack("<3iHBBbBH", first)
+        self.x, self.y, self.z = x, y, z
+        self.intensity = 0  # same v2 quirk as the reader
+        self.flags = flags
+        self.classification = classification
+        self.scan_angle = scan_angle & 0xFF
+        self.user_data = user_data
+        self.psid = psid
+        self.m_changed_values = ArithmeticModel(64)
+        self.m_scan_angle_rank = [ArithmeticModel(256), ArithmeticModel(256)]
+        self.m_bit_byte: list[ArithmeticModel | None] = [None] * 256
+        self.m_classification: list[ArithmeticModel | None] = [None] * 256
+        self.m_user_data: list[ArithmeticModel | None] = [None] * 256
+        self.ic_intensity = IntegerCompressorEnc(enc, 16, 4)
+        self.ic_psid = IntegerCompressorEnc(enc, 16)
+        self.ic_dx = IntegerCompressorEnc(enc, 32, 2)
+        self.ic_dy = IntegerCompressorEnc(enc, 32, 22)
+        self.ic_z = IntegerCompressorEnc(enc, 32, 20)
+        self.last_x_diff_median5 = [StreamingMedian5() for _ in range(16)]
+        self.last_y_diff_median5 = [StreamingMedian5() for _ in range(16)]
+        self.last_intensity = [0] * 16
+        self.last_height = [0] * 8
+
+    def write(self, item: tuple) -> None:
+        (x, y, z, intensity, flags, classification, scan_angle, user_data,
+         psid) = item
+        scan_angle &= 0xFF
+        enc = self.enc
+        r = flags & 0x07
+        n = (flags >> 3) & 0x07
+        m = NUMBER_RETURN_MAP[n][r]
+        level = NUMBER_RETURN_LEVEL[n][r]
+        changed = 0
+        if self.flags != flags:
+            changed |= 32
+        if self.last_intensity[m] != intensity:
+            changed |= 16
+        if self.classification != classification:
+            changed |= 8
+        if self.scan_angle != scan_angle:
+            changed |= 4
+        if self.user_data != user_data:
+            changed |= 2
+        if self.psid != psid:
+            changed |= 1
+        enc.encode_symbol(self.m_changed_values, changed)
+        if changed & 32:
+            if self.m_bit_byte[self.flags] is None:
+                self.m_bit_byte[self.flags] = ArithmeticModel(256)
+            enc.encode_symbol(self.m_bit_byte[self.flags], flags)
+            self.flags = flags
+        if changed & 16:
+            self.ic_intensity.compress(
+                self.last_intensity[m], intensity, m if m < 3 else 3
+            )
+            self.last_intensity[m] = intensity
+        if changed & 8:
+            if self.m_classification[self.classification] is None:
+                self.m_classification[self.classification] = ArithmeticModel(256)
+            enc.encode_symbol(
+                self.m_classification[self.classification], classification
+            )
+            self.classification = classification
+        if changed & 4:
+            scan_dir = (flags >> 6) & 1
+            enc.encode_symbol(
+                self.m_scan_angle_rank[scan_dir],
+                (scan_angle - self.scan_angle) & 0xFF,
+            )
+            self.scan_angle = scan_angle
+        if changed & 2:
+            if self.m_user_data[self.user_data] is None:
+                self.m_user_data[self.user_data] = ArithmeticModel(256)
+            enc.encode_symbol(self.m_user_data[self.user_data], user_data)
+            self.user_data = user_data
+        if changed & 1:
+            self.ic_psid.compress(self.psid, psid)
+            self.psid = psid
+
+        median = self.last_x_diff_median5[m].get()
+        diff = x - self.x
+        self.ic_dx.compress(median, diff, 1 if n == 1 else 0)
+        self.last_x_diff_median5[m].add(diff)
+        self.x = x
+
+        median = self.last_y_diff_median5[m].get()
+        diff = y - self.y
+        k_bits = self.ic_dx.k
+        ctx = (1 if n == 1 else 0) + ((k_bits & 0xFE) if k_bits < 20 else 20)
+        self.ic_dy.compress(median, diff, ctx)
+        self.last_y_diff_median5[m].add(diff)
+        self.y = y
+
+        k_bits = (self.ic_dx.k + self.ic_dy.k) // 2
+        ctx = (1 if n == 1 else 0) + ((k_bits & 0xFE) if k_bits < 18 else 18)
+        self.ic_z.compress(self.last_height[level], z, ctx)
+        self.last_height[level] = z
+        self.z = z
+
+
+class GpsTime11V2Writer:
+    def __init__(self, enc: ArithmeticEncoder, first: bytes) -> None:
+        self.enc = enc
+        self.m_gpstime_multi = ArithmeticModel(GPSTIME_MULTI_TOTAL)
+        self.m_gpstime_0diff = ArithmeticModel(6)
+        self.ic_gpstime = IntegerCompressorEnc(enc, 32, 9)
+        self.last = 0
+        self.next = 0
+        self.last_gpstime = [0, 0, 0, 0]
+        self.last_gpstime_diff = [0, 0, 0, 0]
+        self.multi_extreme_counter = [0, 0, 0, 0]
+        self.last_gpstime[0] = struct.unpack("<Q", first)[0]
+
+    @staticmethod
+    def _i64(u: int) -> int:
+        u &= (1 << 64) - 1
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    def write(self, gps: float) -> None:
+        enc = self.enc
+        u64 = struct.unpack("<Q", struct.pack("<d", gps))[0]
+        lg = self.last_gpstime
+        lgd = self.last_gpstime_diff
+        mec = self.multi_extreme_counter
+        if lgd[self.last] == 0:
+            if u64 == lg[self.last]:
+                enc.encode_symbol(self.m_gpstime_0diff, 0)
+                return
+            d64 = self._i64(u64) - self._i64(lg[self.last])
+            d32 = _i32(d64)
+            if d64 == d32:
+                enc.encode_symbol(self.m_gpstime_0diff, 1)
+                self.ic_gpstime.compress(0, d32, 0)
+                lgd[self.last] = d32
+                mec[self.last] = 0
+                lg[self.last] = u64
+            else:
+                for i in range(1, 4):
+                    od = self._i64(u64) - self._i64(lg[(self.last + i) & 3])
+                    if od == _i32(od):
+                        enc.encode_symbol(self.m_gpstime_0diff, i + 2)
+                        self.last = (self.last + i) & 3
+                        self.write(gps)
+                        return
+                enc.encode_symbol(self.m_gpstime_0diff, 2)
+                self.ic_gpstime.compress(
+                    _i32(lg[self.last] >> 32), _i32(u64 >> 32), 8
+                )
+                enc.write_int(u64 & _U32)
+                self.next = (self.next + 1) & 3
+                self.last = self.next
+                lg[self.last] = u64
+                lgd[self.last] = 0
+                mec[self.last] = 0
+        else:
+            if u64 == lg[self.last]:
+                enc.encode_symbol(
+                    self.m_gpstime_multi, GPSTIME_MULTI_UNCHANGED
+                )
+                return
+            d64 = self._i64(u64) - self._i64(lg[self.last])
+            d32 = _i32(d64)
+            if d64 == d32:
+                mf = np.float32(d32) / np.float32(lgd[self.last])
+                multi = int(mf + np.float32(0.5)) if mf >= 0 else int(
+                    mf - np.float32(0.5)
+                )
+                if multi == 1:
+                    enc.encode_symbol(self.m_gpstime_multi, 1)
+                    self.ic_gpstime.compress(lgd[self.last], d32, 1)
+                    mec[self.last] = 0
+                elif multi > 0:
+                    if multi < GPSTIME_MULTI:
+                        enc.encode_symbol(self.m_gpstime_multi, multi)
+                        self.ic_gpstime.compress(
+                            _i32(multi * lgd[self.last]), d32,
+                            2 if multi < 10 else 3,
+                        )
+                    else:
+                        enc.encode_symbol(self.m_gpstime_multi, GPSTIME_MULTI)
+                        self.ic_gpstime.compress(
+                            _i32(GPSTIME_MULTI * lgd[self.last]), d32, 4
+                        )
+                        mec[self.last] += 1
+                        if mec[self.last] > 3:
+                            lgd[self.last] = d32
+                            mec[self.last] = 0
+                elif multi < 0:
+                    if multi > GPSTIME_MULTI_MINUS:
+                        enc.encode_symbol(
+                            self.m_gpstime_multi, GPSTIME_MULTI - multi
+                        )
+                        self.ic_gpstime.compress(
+                            _i32(multi * lgd[self.last]), d32, 5
+                        )
+                    else:
+                        enc.encode_symbol(
+                            self.m_gpstime_multi,
+                            GPSTIME_MULTI - GPSTIME_MULTI_MINUS,
+                        )
+                        self.ic_gpstime.compress(
+                            _i32(GPSTIME_MULTI_MINUS * lgd[self.last]), d32, 6
+                        )
+                        mec[self.last] += 1
+                        if mec[self.last] > 3:
+                            lgd[self.last] = d32
+                            mec[self.last] = 0
+                else:
+                    enc.encode_symbol(self.m_gpstime_multi, 0)
+                    self.ic_gpstime.compress(0, d32, 7)
+                    mec[self.last] += 1
+                    if mec[self.last] > 3:
+                        lgd[self.last] = d32
+                        mec[self.last] = 0
+                lg[self.last] = (lg[self.last] + d64) & ((1 << 64) - 1)
+            else:
+                for i in range(1, 4):
+                    od = self._i64(u64) - self._i64(lg[(self.last + i) & 3])
+                    if od == _i32(od):
+                        enc.encode_symbol(
+                            self.m_gpstime_multi, GPSTIME_MULTI_CODE_FULL + i
+                        )
+                        self.last = (self.last + i) & 3
+                        self.write(gps)
+                        return
+                enc.encode_symbol(
+                    self.m_gpstime_multi, GPSTIME_MULTI_CODE_FULL
+                )
+                self.ic_gpstime.compress(
+                    _i32(lg[self.last] >> 32), _i32(u64 >> 32), 8
+                )
+                enc.write_int(u64 & _U32)
+                self.next = (self.next + 1) & 3
+                self.last = self.next
+                lg[self.last] = u64
+                lgd[self.last] = 0
+                mec[self.last] = 0
+
+
+def write_laz(
+    x: np.ndarray,
+    y: np.ndarray,
+    z: np.ndarray,
+    classification: np.ndarray,
+    gps_time: np.ndarray | None = None,
+    scale: tuple[float, float, float] = (0.01, 0.01, 0.01),
+    chunk_size: int = 50000,
+) -> bytes:
+    """Arrays -> compressed LAZ bytes (LAS 1.2 header, point format 0/1
+    with the compression bit, laszip VLR, compressor-2 chunked stream).
+
+    Round-trips :func:`read_laz` exactly (quantized int coordinates,
+    classes, gps times).  Boundary: the trailing chunk table uses a
+    simplified RAW u32 layout (version, count, sizes) that read_laz
+    ignores — reference laszip tools read the point stream itself but
+    expect their arithmetic-coded chunk table; documented here so the
+    simplification is never mistaken for the full spec.
+    """
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.asarray(z, np.float64)
+    n = len(x)
+    has_gps = gps_time is not None
+    fmt = 1 if has_gps else 0
+    rec_len = 28 if has_gps else 20
+    sx, sy, sz = scale
+    ox = float(np.floor(x.min())) if n else 0.0
+    oy = float(np.floor(y.min())) if n else 0.0
+    oz = float(np.floor(z.min())) if n else 0.0
+    qx = np.round((x - ox) / sx).astype(np.int64)
+    qy = np.round((y - oy) / sy).astype(np.int64)
+    qz = np.round((z - oz) / sz).astype(np.int64)
+    for q in (qx, qy, qz):
+        if n and np.abs(q).max() >= 2**31:
+            raise ValueError("extent exceeds int32 at this scale")
+    cls = np.asarray(classification, np.uint8)
+
+    def raw10(i: int) -> bytes:
+        return struct.pack(
+            "<3iHBBbBH", int(qx[i]), int(qy[i]), int(qz[i]), 0, 0x11,
+            int(cls[i]), 0, 0, 0
+        )
+
+    chunks = bytearray()
+    sizes = []
+    i = 0
+    while i < n:
+        count = min(chunk_size, n - i)
+        start = len(chunks)
+        chunks += raw10(i)
+        if has_gps:
+            g0 = struct.pack("<d", float(gps_time[i]))
+            chunks += g0
+        enc = ArithmeticEncoder()
+        p10 = Point10V2Writer(enc, raw10(i))
+        gpsw = GpsTime11V2Writer(enc, g0) if has_gps else None
+        for j in range(i + 1, i + count):
+            p10.write(
+                (int(qx[j]), int(qy[j]), int(qz[j]), 0, 0x11, int(cls[j]),
+                 0, 0, 0)
+            )
+            if gpsw is not None:
+                gpsw.write(float(gps_time[j]))
+        chunks += enc.done()
+        chunks += b"\x00\x00\x00\x00"  # decoder lookahead stays in-chunk
+        sizes.append(len(chunks) - start)
+        i += count
+
+    # laszip VLR
+    items = [(ITEM_POINT10, 20, 2)]
+    if has_gps:
+        items.append((ITEM_GPSTIME11, 8, 2))
+    vlr_body = struct.pack(
+        "<HHBBHIIqqH", 2, 0, 2, 2, 0, 0, chunk_size, 0, -1, len(items)
+    )
+    for it in items:
+        vlr_body += struct.pack("<3H", *it)
+    vlr = struct.pack("<H16sHH", 0, b"laszip encoded\0\0", 22204,
+                      len(vlr_body)) + b"\0" * 32 + vlr_body
+
+    header_size = 227
+    offset_to_points = header_size + len(vlr)
+    hdr = bytearray(header_size)
+    hdr[0:4] = b"LASF"
+    hdr[24] = 1
+    hdr[25] = 2
+    hdr[26:36] = b"lasutility"
+    struct.pack_into("<HI", hdr, 94, header_size, offset_to_points)
+    struct.pack_into("<IBH", hdr, 100, 1, fmt | 0x80, rec_len)
+    struct.pack_into("<I", hdr, 107, n)
+    struct.pack_into("<6d", hdr, 131, sx, sy, sz, ox, oy, oz)
+    if n:
+        struct.pack_into(
+            "<6d", hdr, 179,
+            float(x.max()), float(x.min()), float(y.max()), float(y.min()),
+            float(z.max()), float(z.min()),
+        )
+    # point data: chunk-table offset (i64) -> chunks -> raw chunk table
+    table_off = offset_to_points + 8 + len(chunks)
+    out = bytes(hdr) + vlr + struct.pack("<q", table_off) + bytes(chunks)
+    # RAW chunk-size table, version 1 (read_laz's marker for "not the
+    # laszip arithmetic-coded table")
+    out += struct.pack("<2I", 1, len(sizes))
+    out += b"".join(struct.pack("<I", s) for s in sizes)
+    return out

@@ -202,3 +202,67 @@ def test_laz_to_tin_pipeline_a(spark, tmp_path):
     assert t["n_points"] == 1481
     assert t["n_triangles"] > 0
     assert t["filled_cells"] > 0
+
+
+def test_write_laz_roundtrip_multichunk():
+    """LAZ encoder round trip across 3 chunks (raw first point + model
+    reset per chunk, explicit chunk-size table, decoder lookahead padded
+    in-chunk): quantized coords exact, classes exact, gps times exact."""
+    from lasutility_spark.gridlib import laz
+
+    rng = np.random.RandomState(3)
+    n = 120_000  # 3 chunks at the 50k default
+    x = 380000 + rng.rand(n) * 3000
+    y = 6666000 + rng.rand(n) * 3000
+    z = 100 + rng.rand(n) * 80
+    cls = rng.choice([2, 3, 4, 5], n).astype(np.uint8)
+    gps = np.sort(rng.rand(n) * 3600) + 300000.0
+    data = laz.write_laz(x, y, z, cls, gps_time=gps)
+    assert len(data) < n * 28  # actually compresses
+    h, rx, ry, rz, rcls = laz.read_laz(data)
+    assert len(rx) == n == h["point_count"]
+    assert np.allclose(rx, x, atol=0.0051)
+    assert np.allclose(ry, y, atol=0.0051)
+    assert np.allclose(rz, z, atol=0.0051)
+    assert np.array_equal(rcls, cls)
+    assert np.array_equal(h["_gps_time"], gps)
+
+
+def test_write_laz_format0_and_gps_extremes():
+    from lasutility_spark.gridlib import laz
+
+    rng = np.random.RandomState(5)
+    n = 300
+    x = 380000 + rng.rand(n) * 500
+    y = 6666000 + rng.rand(n) * 500
+    z = rng.rand(n) * 10
+    cls = rng.choice([2, 5], n).astype(np.uint8)
+    d0 = laz.write_laz(x, y, z, cls)  # point format 0, no gps
+    _h, a, b, c, cc = laz.read_laz(d0)
+    assert np.allclose(a, x, atol=0.0051) and np.array_equal(cc, cls)
+    # gps sequences exercising every GPSTIME11 path: constant runs
+    # (0diff), regular deltas (multi), and huge jumps (full retakes)
+    g = np.concatenate([np.full(100, 5.0), np.arange(100) * 1e9,
+                        np.full(100, 5.0)])
+    d1 = laz.write_laz(x, y, z, cls, gps_time=g)
+    h1, *_ = laz.read_laz(d1)
+    assert np.array_equal(h1["_gps_time"], g)
+
+
+def test_laz_source_reads_written_file(spark, tmp_path):
+    """Distributed source over a file our own encoder wrote."""
+    from lasutility_spark.gridlib import laz
+    from lasutility_spark.engine.sources import read_las_points
+
+    rng = np.random.RandomState(9)
+    n = 5000
+    x = 380000 + rng.rand(n) * 1000
+    y = 6666000 + rng.rand(n) * 1000
+    z = rng.rand(n) * 50
+    cls = rng.choice([2, 3], n).astype(np.uint8)
+    p = tmp_path / "own.laz"
+    p.write_bytes(laz.write_laz(x, y, z, cls))
+    df = read_las_points(spark, [str(p)])
+    assert df.count() == n
+    got = df.agg({"z": "max"}).collect()[0][0]
+    assert abs(got - z.max()) < 0.0051
