@@ -66,3 +66,47 @@ def read_shapefile_features(
         for r in pdf.itertuples()
     ]
     return spark.createDataFrame(rows, FEATURE_SCHEMA)
+
+
+def read_laz_points_chunked(spark: SparkSession, path: str) -> DataFrame:
+    """One LAZ file -> points(x, y, z, cls), ONE SPARK TASK PER CHUNK.
+
+    The driver parses only the header + chunk table (a few KB) to build
+    the split list; each task decodes its own chunk — LASzip chunks are
+    independently decodable (raw first point + fresh model state), so
+    they parallelize exactly like parquet row groups.  In the sandbox a
+    task re-opens the local file and slices its byte range; on a cluster
+    the same plan issues object-store ranged reads.
+    """
+    from ..gridlib.laz import decode_laz_chunk, laz_chunk_plan
+
+    with open(path, "rb") as f:
+        data = f.read()
+    header, vlr, chunks = laz_chunk_plan(data)
+    sx, sy, sz = header["scale"]
+    ox, oy, oz = header["offset"]
+    rows = [(path, int(s), int(c)) for s, c in chunks]
+    plan = spark.createDataFrame(rows, "path string, start long, count long")
+    plan = plan.repartition(max(1, min(len(rows), 256)))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, bytes] = {}
+        for pdf in batches:
+            for p, s, c in zip(pdf["path"], pdf["start"], pdf["count"]):
+                raw = cache.get(p)
+                if raw is None:
+                    with open(p, "rb") as f:
+                        raw = cache[p] = f.read()
+                xs, ys, zs, cls, _r, _g = decode_laz_chunk(
+                    raw, vlr, int(s), int(c)
+                )
+                yield pd.DataFrame(
+                    {
+                        "x": xs * sx + ox,
+                        "y": ys * sy + oy,
+                        "z": zs * sz + oz,
+                        "cls": cls.astype("int8"),
+                    }
+                )
+
+    return plan.mapInPandas(run, POINTS_SCHEMA)

@@ -587,18 +587,22 @@ def parse_laszip_vlr(data: bytes, header: dict) -> dict:
     raise ValueError("no laszip VLR found — not a LAZ file?")
 
 
-def read_laz(data: bytes):
-    """LAZ bytes -> (header, x, y, z, classification) float64/uint8 arrays
-    — the same surface as :func:`las.read_las`, via full LASzip
-    decompression.  Also attaches per-point return numbers and gps times
-    on the header dict (``_returns``, ``_gps_time``) for validation."""
+def laz_chunk_plan(data: bytes):
+    """LAZ bytes -> (header, vlr, chunks) where chunks is a list of
+    ``(byte_start, point_count)`` — the per-chunk scan plan.  Each chunk
+    is independently decodable (raw first point + fresh models), so this
+    IS the split list for a distributed scan: at scale one Spark task
+    decodes one chunk (the analog of a parquet row group).
+
+    ``byte_start`` is None for a sequential single-chunk stream (real
+    laszip files without our raw size table)."""
     header = read_header(data)
     if not (header["point_format"] & 0x80):
         raise ValueError("not LAZ (compression bit clear) — use las.read_las")
     vlr = parse_laszip_vlr(data, header)
     if vlr["compressor"] not in (1, 2):
         raise ValueError(f"unsupported laszip compressor {vlr['compressor']}")
-    for itype, isize, iver in vlr["items"]:
+    for itype, _isize, iver in vlr["items"]:
         if (itype, iver) not in ((ITEM_POINT10, 2), (ITEM_GPSTIME11, 2)):
             raise ValueError(
                 "unsupported laszip item "
@@ -623,59 +627,79 @@ def read_laz(data: bytes):
                     chunk_starts.append(chunk_starts[-1] + s)
     chunk_size = vlr["chunk_size"] if vlr["compressor"] == 2 else n
 
-    has_gps = any(t == ITEM_GPSTIME11 for t, _s, _v in vlr["items"])
-    xs = np.empty(n, np.int64)
-    ys = np.empty(n, np.int64)
-    zs = np.empty(n, np.int64)
-    cls = np.empty(n, np.uint8)
-    rets = np.empty(n, np.uint8)
-    gps = np.zeros(n, np.float64)
-
+    chunks = []
     i = 0
-    chunk_idx = 0
+    k = 0
     while i < n:
         count = min(chunk_size, n - i)
         if chunk_starts is not None:
-            if chunk_idx >= len(chunk_starts):
+            if k >= len(chunk_starts):
                 raise ValueError("chunk table shorter than point count implies")
-            pos = chunk_starts[chunk_idx]
-        elif i > 0:
+            chunks.append((chunk_starts[k], count))
+        elif i == 0:
+            chunks.append((pos, count))
+        else:
             raise ValueError(
                 "multi-chunk LAZ without a parsable chunk table: sequential "
                 "decode cannot locate chunk boundaries (the arithmetic "
                 "decoder's byte lookahead makes dec.pos inexact) — "
                 "laszip-native arithmetic-coded chunk tables are out of scope"
             )
-        # chunk: raw first point (all items), then arithmetic-coded rest
-        raw10 = data[pos : pos + 20]
-        pos += 20
-        if has_gps:
-            rawgps = data[pos : pos + 8]
-            pos += 8
-        dec = ArithmeticDecoder(data, pos)
-        p10 = Point10V2Reader(dec, raw10)
-        gpsr = GpsTime11V2Reader(dec, rawgps) if has_gps else None
-        xs[i], ys[i], zs[i] = p10.x, p10.y, p10.z
-        cls[i] = p10.classification
-        rets[i] = p10.flags & 0x07
-        if has_gps:
-            gps[i] = struct.unpack("<d", rawgps)[0]
-        dec.init()
-        for j in range(i + 1, i + count):
-            x, y, z, _inten, flags, c, _sa, _ud, _psid = p10.read()
-            xs[j], ys[j], zs[j] = x, y, z
-            cls[j] = c
-            rets[j] = flags & 0x07
-            if gpsr is not None:
-                gps[j] = gpsr.read()
-        pos = dec.pos
         i += count
-        chunk_idx += 1
+        k += 1
+    return header, vlr, chunks
 
+
+def decode_laz_chunk(data: bytes, vlr: dict, start: int, count: int):
+    """One chunk -> (X, Y, Z int64 raw-quantized, cls, returns, gps)."""
+    has_gps = any(t == ITEM_GPSTIME11 for t, _s, _v in vlr["items"])
+    xs = np.empty(count, np.int64)
+    ys = np.empty(count, np.int64)
+    zs = np.empty(count, np.int64)
+    cls = np.empty(count, np.uint8)
+    rets = np.empty(count, np.uint8)
+    gps = np.zeros(count, np.float64)
+    pos = start
+    raw10 = data[pos : pos + 20]
+    pos += 20
+    rawgps = b""
+    if has_gps:
+        rawgps = data[pos : pos + 8]
+        pos += 8
+    dec = ArithmeticDecoder(data, pos)
+    p10 = Point10V2Reader(dec, raw10)
+    gpsr = GpsTime11V2Reader(dec, rawgps) if has_gps else None
+    xs[0], ys[0], zs[0] = p10.x, p10.y, p10.z
+    cls[0] = p10.classification
+    rets[0] = p10.flags & 0x07
+    if has_gps:
+        gps[0] = struct.unpack("<d", rawgps)[0]
+    dec.init()
+    for j in range(1, count):
+        x, y, z, _inten, flags, c, _sa, _ud, _psid = p10.read()
+        xs[j], ys[j], zs[j] = x, y, z
+        cls[j] = c
+        rets[j] = flags & 0x07
+        if gpsr is not None:
+            gps[j] = gpsr.read()
+    return xs, ys, zs, cls, rets, gps
+
+
+def read_laz(data: bytes):
+    """LAZ bytes -> (header, x, y, z, classification) float64/uint8 arrays
+    — the same surface as :func:`las.read_las`, via full LASzip
+    decompression.  Also attaches per-point return numbers and gps times
+    on the header dict (``_returns``, ``_gps_time``) for validation."""
+    header, vlr, chunks = laz_chunk_plan(data)
+    parts = [decode_laz_chunk(data, vlr, s, c) for s, c in chunks]
+    xs = np.concatenate([p[0] for p in parts])
+    ys = np.concatenate([p[1] for p in parts])
+    zs = np.concatenate([p[2] for p in parts])
+    cls = np.concatenate([p[3] for p in parts])
     sx, sy, sz = header["scale"]
     ox, oy, oz = header["offset"]
-    header["_returns"] = rets
-    header["_gps_time"] = gps
+    header["_returns"] = np.concatenate([p[4] for p in parts])
+    header["_gps_time"] = np.concatenate([p[5] for p in parts])
     return header, xs * sx + ox, ys * sy + oy, zs * sz + oz, cls
 
 

@@ -266,3 +266,30 @@ def test_laz_source_reads_written_file(spark, tmp_path):
     assert df.count() == n
     got = df.agg({"z": "max"}).collect()[0][0]
     assert abs(got - z.max()) < 0.0051
+
+
+def test_laz_chunked_source_parallel_decode(spark, tmp_path):
+    """One task per LASzip chunk: the chunked source over a 4-chunk file
+    equals the single-pass decode row-for-row."""
+    from lasutility_spark.engine.sources import read_laz_points_chunked
+    from lasutility_spark.gridlib import laz
+
+    rng = np.random.RandomState(21)
+    n = 40_000
+    x = 380000 + rng.rand(n) * 2000
+    y = 6666000 + rng.rand(n) * 2000
+    z = rng.rand(n) * 30
+    cls = rng.choice([2, 3, 4, 5], n).astype(np.uint8)
+    p = tmp_path / "chunky.laz"
+    p.write_bytes(laz.write_laz(x, y, z, cls, chunk_size=10_000))
+    _h, _vlr, chunks = laz.laz_chunk_plan(p.read_bytes())
+    assert len(chunks) == 4
+    df = read_laz_points_chunked(spark, str(p))
+    got = sorted(
+        (round(r["x"], 2), round(r["y"], 2), round(r["z"], 2), r["cls"])
+        for r in df.collect()
+    )
+    _h2, rx, ry, rz, rcls = laz.read_laz(p.read_bytes())
+    want = sorted(zip(np.round(rx, 2), np.round(ry, 2), np.round(rz, 2),
+                      rcls.astype("int8")))
+    assert got == want
