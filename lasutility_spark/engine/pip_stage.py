@@ -420,12 +420,26 @@ def classify_images_fused(
     )
 
 
+def per_cell_feature_lists(features: DataFrame, size_north: int = 1000) -> DataFrame:
+    """The join-attach strategy's broadcast dimension: exploded covers
+    grouped per cell into (cell_id, fl: array<struct(seq, luokka,
+    geom_wkb)>).  Callers that classify repeatedly should build this
+    ONCE and .cache() it (bench does; a deployment materializes it as a
+    table next to the feature store) — rebuilding it per query costs a
+    full explode + aggregate + driver broadcast round trip."""
+    covers = explode_feature_covers(features, size_north)
+    return covers.groupBy("cell_id").agg(
+        F.collect_list(F.struct("seq", "luokka", "geom_wkb")).alias("fl")
+    )
+
+
 def classify_images_joined(
     images: DataFrame,
-    features: DataFrame,
+    features: DataFrame | None,
     classmap: dict[int, int],
     px: int = 128,
     size_north: int = 1000,
+    per_cell: DataFrame | None = None,
 ) -> DataFrame:
     """Join-attach strategy of the tile PIP classification — the fastest
     shape measured when the per-tile feature lists fit a broadcast.
@@ -457,10 +471,8 @@ def classify_images_joined(
         from .tiling import cell_id_from_caption
 
         images = images.withColumn("cell_id", cell_id_from_caption(size_north))
-    covers = explode_feature_covers(features, size_north)
-    per_cell = covers.groupBy("cell_id").agg(
-        F.collect_list(F.struct("seq", "luokka", "geom_wkb")).alias("fl")
-    )
+    if per_cell is None:
+        per_cell = per_cell_feature_lists(features, size_north)
     cmap = dict(classmap)
     img = images.select("cell_id", "caption", "bytes").join(
         F.broadcast(per_cell), "cell_id", "left"
