@@ -578,3 +578,131 @@ int64_t lsu_sample_points(int64_t px, const float *dem, double minx,
     }
     return n;
 }
+
+/* ---- rectangular clipping (V3): Sutherland-Hodgman ring +
+   Liang-Barsky polyline.  Same double arithmetic, op for op, as the
+   numpy/python fallbacks in clip.py (compiled -ffp-contract=off), so
+   outputs are bit-identical — pinned by tests/test_gridlib_core.py. */
+
+int64_t lsu_clip_ring(int64_t n, const double* xs, const double* ys,
+                      double minx, double miny, double maxx, double maxy,
+                      double* out_x, double* out_y,
+                      double* work_x, double* work_y)
+{
+    const double* in_x = xs;
+    const double* in_y = ys;
+    double* a_x = out_x;
+    double* a_y = out_y;
+    double* b_x = work_x;
+    double* b_y = work_y;
+    int64_t in_n = n;
+    for (int edge = 0; edge < 4; edge++) {
+        if (in_n == 0) return 0;
+        int64_t out_n = 0;
+        double px = in_x[in_n - 1], py = in_y[in_n - 1];
+        int prev_in = edge == 0 ? (px >= minx) : edge == 1 ? (px <= maxx)
+                    : edge == 2 ? (py >= miny) : (py <= maxy);
+        for (int64_t i = 0; i < in_n; i++) {
+            double cx = in_x[i], cy = in_y[i];
+            int cur_in = edge == 0 ? (cx >= minx) : edge == 1 ? (cx <= maxx)
+                       : edge == 2 ? (cy >= miny) : (cy <= maxy);
+            if (cur_in != prev_in) {
+                double ix, iy;
+                if (edge < 2) {
+                    double xb = edge == 0 ? minx : maxx;
+                    double t = (xb - px) / (cx - px);
+                    ix = xb;
+                    iy = py + t * (cy - py);
+                } else {
+                    double yb = edge == 2 ? miny : maxy;
+                    double t = (yb - py) / (cy - py);
+                    ix = px + t * (cx - px);
+                    iy = yb;
+                }
+                a_x[out_n] = ix;
+                a_y[out_n] = iy;
+                out_n++;
+            }
+            if (cur_in) {
+                a_x[out_n] = cx;
+                a_y[out_n] = cy;
+                out_n++;
+            }
+            px = cx;
+            py = cy;
+            prev_in = cur_in;
+        }
+        in_x = a_x;
+        in_y = a_y;
+        in_n = out_n;
+        double* t;
+        t = a_x; a_x = b_x; b_x = t;
+        t = a_y; a_y = b_y; b_y = t;
+    }
+    if (in_n < 3) return 0;
+    if (in_x != out_x) {
+        for (int64_t i = 0; i < in_n; i++) {
+            out_x[i] = in_x[i];
+            out_y[i] = in_y[i];
+        }
+    }
+    return in_n;
+}
+
+int64_t lsu_clip_polyline(int64_t n, const double* xs, const double* ys,
+                          double minx, double miny, double maxx, double maxy,
+                          double* out_x, double* out_y, int64_t* part_lens)
+{
+    int64_t n_parts = 0, total = 0, cur = 0;
+    for (int64_t i = 1; i < n; i++) {
+        double x1 = xs[i - 1], y1 = ys[i - 1], x2 = xs[i], y2 = ys[i];
+        double dx = x2 - x1, dy = y2 - y1;
+        double t0 = 0.0, t1 = 1.0;
+        int ok = 1;
+        double ps[4], qs[4];
+        ps[0] = -dx; qs[0] = x1 - minx;
+        ps[1] = dx;  qs[1] = maxx - x1;
+        ps[2] = -dy; qs[2] = y1 - miny;
+        ps[3] = dy;  qs[3] = maxy - y1;
+        for (int e = 0; e < 4; e++) {
+            double p = ps[e], q = qs[e];
+            if (p == 0.0) {
+                if (q < 0.0) { ok = 0; break; }
+            } else {
+                double t = q / p;
+                if (p < 0.0) {
+                    if (t > t1) { ok = 0; break; }
+                    if (t > t0) t0 = t;
+                } else {
+                    if (t < t0) { ok = 0; break; }
+                    if (t < t1) t1 = t;
+                }
+            }
+        }
+        if (!ok) {
+            if (cur >= 2) part_lens[n_parts++] = cur; else total -= cur;
+            cur = 0;
+            continue;
+        }
+        double cx1 = x1 + t0 * dx, cy1 = y1 + t0 * dy;
+        double cx2 = x1 + t1 * dx, cy2 = y1 + t1 * dy;
+        if (cur == 0 || out_x[total - 1] != cx1 || out_y[total - 1] != cy1) {
+            if (cur >= 2) part_lens[n_parts++] = cur; else total -= cur;
+            cur = 0;
+            out_x[total] = cx1;
+            out_y[total] = cy1;
+            total++;
+            cur++;
+        }
+        out_x[total] = cx2;
+        out_y[total] = cy2;
+        total++;
+        cur++;
+        if (t1 < 1.0) {
+            if (cur >= 2) part_lens[n_parts++] = cur; else total -= cur;
+            cur = 0;
+        }
+    }
+    if (cur >= 2) part_lens[n_parts++] = cur; else total -= cur;
+    return n_parts;
+}

@@ -32,6 +32,12 @@ _raster_fn = None
 _fill_fn = None
 _line_fn = None
 _sample_fn = None
+_clip_ring_fn = None
+_clip_line_fn = None
+
+# sentinel: "native kernel unavailable, use the Python fallback" — needed
+# because clip results legitimately include None (empty after clip)
+UNAVAILABLE = object()
 
 
 def _read_source() -> bytes:
@@ -154,16 +160,33 @@ def _build_and_load():
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
-    return fn, rfn, pfn, lfn, sfn
+    crfn = lib.lsu_clip_ring
+    crfn.restype = ctypes.c_int64
+    crfn.argtypes = [
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    cpfn = lib.lsu_clip_polyline
+    cpfn.restype = ctypes.c_int64
+    cpfn.argtypes = [
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    return fn, rfn, pfn, lfn, sfn, crfn, cpfn
 
 
 def _ensure_loaded():
     global _loaded, _fn, _raster_fn, _fill_fn, _line_fn, _sample_fn
+    global _clip_ring_fn, _clip_line_fn
     if not _loaded:
         try:
-            _fn, _raster_fn, _fill_fn, _line_fn, _sample_fn = _build_and_load()
+            (_fn, _raster_fn, _fill_fn, _line_fn, _sample_fn,
+             _clip_ring_fn, _clip_line_fn) = _build_and_load()
         except Exception:
             _fn = _raster_fn = _fill_fn = _line_fn = _sample_fn = None
+            _clip_ring_fn = _clip_line_fn = None
         _loaded = True
 
 
@@ -308,3 +331,58 @@ def rasterize_polyline(
     _line_fn(dest.ctypes.data, rows, cols, int(value), vr.ctypes.data,
              vc.ctypes.data, len(vr))
     return True
+
+
+def clip_ring(xs: np.ndarray, ys: np.ndarray, minx, miny, maxx, maxy):
+    """C Sutherland-Hodgman ring clip; returns UNAVAILABLE to request the
+    Python fallback, None when the clipped ring is empty, else (x, y)."""
+    if os.environ.get("LSU_NO_NATIVE") == "1":
+        return UNAVAILABLE
+    _ensure_loaded()
+    if _clip_ring_fn is None:
+        return UNAVAILABLE
+    xs = np.ascontiguousarray(xs, dtype=np.float64)
+    ys = np.ascontiguousarray(ys, dtype=np.float64)
+    n = len(xs)
+    cap = 16 * n + 8
+    out_x = np.empty(cap, dtype=np.float64)
+    out_y = np.empty(cap, dtype=np.float64)
+    wx = np.empty(cap, dtype=np.float64)
+    wy = np.empty(cap, dtype=np.float64)
+    m = _clip_ring_fn(
+        n, xs.ctypes.data, ys.ctypes.data,
+        float(minx), float(miny), float(maxx), float(maxy),
+        out_x.ctypes.data, out_y.ctypes.data, wx.ctypes.data, wy.ctypes.data,
+    )
+    if m == 0:
+        return None
+    return out_x[:m], out_y[:m]
+
+
+def clip_polyline(xs: np.ndarray, ys: np.ndarray, minx, miny, maxx, maxy):
+    """C Liang-Barsky polyline clip; UNAVAILABLE => Python fallback, else
+    a list of (x, y) parts (possibly empty)."""
+    if os.environ.get("LSU_NO_NATIVE") == "1":
+        return UNAVAILABLE
+    _ensure_loaded()
+    if _clip_line_fn is None:
+        return UNAVAILABLE
+    xs = np.ascontiguousarray(xs, dtype=np.float64)
+    ys = np.ascontiguousarray(ys, dtype=np.float64)
+    n = len(xs)
+    cap = 2 * max(n, 1) + 2
+    out_x = np.empty(cap, dtype=np.float64)
+    out_y = np.empty(cap, dtype=np.float64)
+    lens = np.empty(max(n, 1), dtype=np.int64)
+    k = _clip_line_fn(
+        n, xs.ctypes.data, ys.ctypes.data,
+        float(minx), float(miny), float(maxx), float(maxy),
+        out_x.ctypes.data, out_y.ctypes.data, lens.ctypes.data,
+    )
+    parts = []
+    off = 0
+    for i in range(k):
+        ln = int(lens[i])
+        parts.append((out_x[off : off + ln].copy(), out_y[off : off + ln].copy()))
+        off += ln
+    return parts

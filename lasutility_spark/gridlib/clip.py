@@ -3,7 +3,10 @@
 The reference clips features partly outside the raster with NTS
 ``Geometry.Intersection`` (Shapefile/RasteriserEvenOdd.cs:43-48).  For a
 rectangular clip window that is Sutherland-Hodgman for polygon rings and
-Liang-Barsky for line segments — both public classics.  S-H can emit
+Liang-Barsky for line segments — both public classics.  C fast paths in
+_delaunay.c (bit-identical arithmetic, -ffp-contract=off) carry the PIP
+kernel's boundary-crossing features; the numpy/python forms below remain
+the semantics definition and the LSU_NO_NATIVE=1 fallback.  S-H can emit
 zero-width "bridge" edges along the clip boundary for concave polygons;
 those are harmless to the even-odd scanline (zero-area spans).
 """
@@ -11,6 +14,8 @@ those are harmless to the even-odd scanline (zero-area spans).
 from __future__ import annotations
 
 import numpy as np
+
+from . import _native
 
 
 def clip_ring(xs: np.ndarray, ys: np.ndarray, minx, miny, maxx, maxy):
@@ -30,6 +35,10 @@ def clip_ring(xs: np.ndarray, ys: np.ndarray, minx, miny, maxx, maxy):
         and ys.min() >= miny and ys.max() <= maxy
     ):
         return xs, ys
+
+    got = _native.clip_ring(xs, ys, minx, miny, maxx, maxy)
+    if got is not _native.UNAVAILABLE:
+        return got
 
     pts = list(zip(xs.tolist(), ys.tolist()))
 
@@ -88,6 +97,9 @@ def clip_polyline(xs: np.ndarray, ys: np.ndarray, minx, miny, maxx, maxy):
         and ys.min() >= miny and ys.max() <= maxy
     ):
         return [(xs, ys)]
+    got = _native.clip_polyline(xs, ys, minx, miny, maxx, maxy)
+    if got is not _native.UNAVAILABLE:
+        return got
     parts = []
     cur_x: list[float] = []
     cur_y: list[float] = []

@@ -211,3 +211,47 @@ def test_rle_roundtrip_random():
     for _ in range(20):
         row = rng.choice([0, 0, 0, 1, 2, 255], size=rng.randint(1, 500)).astype(np.uint8)
         assert np.array_equal(rle_decompress_row(rle_compress_row(row), len(row)), row)
+
+
+def test_clip_native_matches_python_fallback():
+    """C clip kernels (S-H ring + Liang-Barsky polyline) are bit-identical
+    to the Python fallback over fuzzed boundary-crossing geometries."""
+    import os
+
+    from lasutility_spark.gridlib import _native, clip
+
+    if _native.clip_ring(
+        np.array([-1.0, 50.0, 50.0]), np.array([50.0, -1.0, 50.0]),
+        0.0, 0.0, 100.0, 100.0,
+    ) is _native.UNAVAILABLE:
+        import pytest
+
+        pytest.skip("no C toolchain on this node")
+    rng = np.random.RandomState(7)
+    box = (0.0, 0.0, 100.0, 100.0)
+    for _ in range(800):
+        nv = rng.randint(3, 14)
+        xs = rng.uniform(-60, 160, nv)
+        ys = rng.uniform(-60, 160, nv)
+        c = clip.clip_ring(xs, ys, *box)
+        os.environ["LSU_NO_NATIVE"] = "1"
+        try:
+            p = clip.clip_ring(xs, ys, *box)
+        finally:
+            del os.environ["LSU_NO_NATIVE"]
+        assert (c is None) == (p is None)
+        if c is not None:
+            assert np.array_equal(c[0], p[0]) and np.array_equal(c[1], p[1])
+    for _ in range(800):
+        nv = rng.randint(2, 20)
+        xs = rng.uniform(-60, 160, nv)
+        ys = rng.uniform(-60, 160, nv)
+        c = clip.clip_polyline(xs, ys, *box)
+        os.environ["LSU_NO_NATIVE"] = "1"
+        try:
+            p = clip.clip_polyline(xs, ys, *box)
+        finally:
+            del os.environ["LSU_NO_NATIVE"]
+        assert len(c) == len(p)
+        for (cx, cy), (px_, py_) in zip(c, p):
+            assert np.array_equal(cx, px_) and np.array_equal(cy, py_)
