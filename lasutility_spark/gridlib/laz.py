@@ -27,6 +27,12 @@ chunks are independently decodable — at scale, one Spark task per chunk
 (the chunk table at the start of the point data gives the offsets); the
 reference fixture holds a single chunk.
 
+The chunk table is handled in the laszip-native version-0 layout both
+directions (sizes arithmetic-coded with the 32-bit/2-context integer
+compressor, previous-size prediction — validated against the reference
+fixture's own table), so real multi-chunk laszip files locate their
+chunk boundaries correctly.
+
 Scope boundary: other item types (RGB12, BYTE, the 1.4 POINT14 family)
 and record version 1 raise ValueError with a clear message.
 """
@@ -126,7 +132,10 @@ class ArithmeticDecoder:
     def init(self) -> None:
         d = self.data
         p = self.pos
-        self.value = (d[p] << 24) | (d[p + 1] << 16) | (d[p + 2] << 8) | d[p + 3]
+        # EOF-tolerant like _renorm: a tiny stream (e.g. a 1-entry chunk
+        # table) can end within the decoder's 4-byte prime read
+        b = [d[p + i] if p + i < len(d) else 0 for i in range(4)]
+        self.value = (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]
         self.pos = p + 4
         self.length = AC_MAX_LENGTH
 
@@ -615,12 +624,27 @@ def laz_chunk_plan(data: bytes):
     if vlr["compressor"] == 2:  # chunked: chunk table offset precedes data
         (table_off,) = struct.unpack_from("<q", data, pos)
         pos += 8
-        # our own writer emits a RAW chunk-size table (version 1 marker);
-        # real laszip tables are arithmetic-coded (version 0) and are not
-        # needed for the single-chunk case — sequential decode covers it
+        # chunk table: version 0 = the laszip-native layout (chunk sizes
+        # arithmetic-coded with the 32-bit/2-context integer compressor,
+        # each size predicted by the previous one — validated against the
+        # reference fixture's own table); version 1 = this module's
+        # legacy raw u32 layout (older written files)
         if 0 < table_off <= len(data) - 8:
             ver, cnt = struct.unpack_from("<2I", data, table_off)
-            if ver == 1 and 0 < cnt <= 1 + n // max(vlr["chunk_size"], 1):
+            max_chunks = 1 + n // max(vlr["chunk_size"], 1)
+            if ver == 0 and 0 < cnt <= max_chunks:
+                tdec = ArithmeticDecoder(data, table_off + 8)
+                tdec.init()
+                ic = IntegerCompressor(tdec, 32, 2)
+                sizes = []
+                prev = 0
+                for _ in range(cnt):
+                    prev = ic.decompress(prev, 1)
+                    sizes.append(prev)
+                chunk_starts = [pos]
+                for s in sizes[:-1]:
+                    chunk_starts.append(chunk_starts[-1] + s)
+            elif ver == 1 and 0 < cnt <= max_chunks:
                 sizes = struct.unpack_from(f"<{cnt}I", data, table_off + 8)
                 chunk_starts = [pos]
                 for s in sizes[:-1]:
@@ -1124,11 +1148,10 @@ def write_laz(
     with the compression bit, laszip VLR, compressor-2 chunked stream).
 
     Round-trips :func:`read_laz` exactly (quantized int coordinates,
-    classes, gps times).  Boundary: the trailing chunk table uses a
-    simplified RAW u32 layout (version, count, sizes) that read_laz
-    ignores — reference laszip tools read the point stream itself but
-    expect their arithmetic-coded chunk table; documented here so the
-    simplification is never mistaken for the full spec.
+    classes, gps times).  The trailing chunk table uses the
+    laszip-native version-0 layout (sizes arithmetic-coded with the
+    32-bit/2-context integer compressor, previous-size prediction) —
+    the same layout decoded from the reference fixture's own table.
     """
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
@@ -1176,7 +1199,6 @@ def write_laz(
             if gpsw is not None:
                 gpsw.write(float(gps_time[j]))
         chunks += enc.done()
-        chunks += b"\x00\x00\x00\x00"  # decoder lookahead stays in-chunk
         sizes.append(len(chunks) - start)
         i += count
 
@@ -1209,11 +1231,16 @@ def write_laz(
             float(x.max()), float(x.min()), float(y.max()), float(y.min()),
             float(z.max()), float(z.min()),
         )
-    # point data: chunk-table offset (i64) -> chunks -> raw chunk table
+    # point data: chunk-table offset (i64) -> chunks -> laszip-native
+    # chunk table (version 0: sizes arithmetic-coded, each predicted by
+    # the previous — the same layout the reference fixture carries)
     table_off = offset_to_points + 8 + len(chunks)
     out = bytes(hdr) + vlr + struct.pack("<q", table_off) + bytes(chunks)
-    # RAW chunk-size table, version 1 (read_laz's marker for "not the
-    # laszip arithmetic-coded table")
-    out += struct.pack("<2I", 1, len(sizes))
-    out += b"".join(struct.pack("<I", s) for s in sizes)
+    tenc = ArithmeticEncoder()
+    tic = IntegerCompressorEnc(tenc, 32, 2)
+    prev = 0
+    for s in sizes:
+        tic.compress(prev, s, 1)
+        prev = s
+    out += struct.pack("<2I", 0, len(sizes)) + tenc.done()
     return out
