@@ -272,6 +272,35 @@ def _oracle_voxel_stats(dialect: str) -> str:
     )
 
 
+def _raster_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V9' raster -> vector: rasterize features per tile (real kernel,
+    png8 encode), then DECODE the rasters back and extract per-class
+    painted counts + extent boxes — the polygonize first step.  Oracle =
+    pip_class_extents side table from the LSU_NO_NATIVE=1 generation
+    rasterization, so the full encode -> decode -> extract loop is
+    verified against independent arithmetic."""
+    images_dir = datagen.ensure_images_table(_FIXTURE_SF)
+    images = epoints.read_images(spark, images_dir)
+    from lasutility_spark.engine.tiling import cell_id_from_caption
+
+    feats = spark.read.parquet(f"{images_dir}/polygons.parquet").union(
+        spark.read.parquet(f"{images_dir}/lines.parquet")
+    )
+    tile_df = images.select(cell_id_from_caption(1000).alias("cell_id"))
+    classmap = {**topodb.ALL_POLYGON, **topodb.ALL_LINE}
+    tiles = pip_stage.rasterize_features_cogrouped(tile_df, feats, classmap, px=64)
+    return pip_stage.raster_class_extents(tiles)
+
+
+def _oracle_raster_extents(dialect: str) -> str:
+    d = datagen.ensure_images_table(_FIXTURE_SF)
+    return (
+        "SELECT cell_id, image_id, value, n_cells, min_row, max_row, "
+        "min_col, max_col "
+        f"FROM read_parquet('{d}/pip_class_extents.parquet')"
+    )
+
+
 def _oracle_pip_tile_stats(dialect: str) -> str:
     """V1-V8 oracle: per-tile applied-feature + painted-cell counts from
     the LSU_NO_NATIVE=1 generation-time rasterization."""
@@ -429,6 +458,7 @@ _KERNEL_WITH_ORACLE.update(
         "t9_tin_rasterize_skew": (_tin_rasterize_skew, _oracle_tile_stats, []),
         "b_voxel_tin_backfill": (_tin_rasterize_voxel, _oracle_voxel_stats, []),
         "v5_pip_rasterize": (_pip_rasterize, _oracle_pip_tile_stats, []),
+        "v9_raster_extents": (_raster_extents, _oracle_raster_extents, []),
     }
 )
 

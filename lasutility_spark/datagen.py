@@ -425,12 +425,16 @@ def gen_tile_stats(
 
 def gen_pip_tile_stats(
     names: list[str], polys: pd.DataFrame, lines: pd.DataFrame, px: int = 64
-) -> pd.DataFrame:
+) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Expected per-tile feature-rasterization metrics (V1-V8), computed
     at generation time with the gridlib kernel forced onto the pure-numpy
     fallback (``LSU_NO_NATIVE=1``) — so the engine's C scanline fast path
     is cross-checked against the independent numpy arithmetic, and the
-    Spark cogrouped distribution must reproduce the per-tile loop."""
+    Spark cogrouped distribution must reproduce the per-tile loop.
+
+    Returns (tile_stats, class_extents): the second frame is the
+    raster->vector oracle — per (tile, class value) the painted cell
+    count and row/col extent box of the expected raster."""
     from .engine import pip_stage  # lazy: engine modules import datagen
 
     feats = [
@@ -442,6 +446,7 @@ def gen_pip_tile_stats(
     os.environ["LSU_NO_NATIVE"] = "1"
     try:
         rows = []
+        ext_rows = []
         for name in names:
             minx, miny, _, _ = tile_decode(name)
             cell = int(_cell_id(np.array([minx]), np.array([miny]), TILE_M)[0])
@@ -458,12 +463,28 @@ def gen_pip_tile_stats(
                     "painted_cells": np.int32((raster != 0).sum()),
                 }
             )
+            for v in np.unique(raster):
+                if v == 0:
+                    continue
+                rr, cc = np.nonzero(raster == v)
+                ext_rows.append(
+                    {
+                        "cell_id": np.int64(cell),
+                        "image_id": name,
+                        "value": np.int32(v),
+                        "n_cells": np.int64(len(rr)),
+                        "min_row": np.int32(rr.min()),
+                        "max_row": np.int32(rr.max()),
+                        "min_col": np.int32(cc.min()),
+                        "max_col": np.int32(cc.max()),
+                    }
+                )
     finally:
         if prev is None:
             os.environ.pop("LSU_NO_NATIVE", None)
         else:
             os.environ["LSU_NO_NATIVE"] = prev
-    return pd.DataFrame(rows)
+    return pd.DataFrame(rows), pd.DataFrame(ext_rows)
 
 
 # table writer --------------------------------------------------------------
@@ -488,19 +509,20 @@ def ensure_images_table(
 
     n = n_tiles if n_tiles else SF_TILES.get(sf, max(9, int(2560 * sf)))
     out = os.path.join(base_dir, f"images_n{n}")  # content-addressed by count
-    # v5: adds the GIF videos table + per-frame oracle stats; v4 added
+    # v6: adds the pip_class_extents raster->vector oracle side table;
+    # v5 added the GIF videos table + per-frame oracle stats; v4 added
     # the tile_stats/pip_tile_stats expected-metric side tables (oracle
     # fixtures only); v3 added envelope columns on the feature tables +
     # tile-anchor columns on images (pushdown pruning); v2 added the
     # multimodal oracle side tables.  v3/v4 caches upgrade in place
     # (side tables only); older caches regenerate in full (idempotent).
-    marker = os.path.join(out, "_SUCCESS_v5")
+    marker = os.path.join(out, "_SUCCESS_v6")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
     names = tile_names(n)
-    if os.path.exists(os.path.join(out, "_SUCCESS_v3")) or os.path.exists(
-        os.path.join(out, "_SUCCESS_v4")
+    if any(
+        os.path.exists(os.path.join(out, f"_SUCCESS_v{v}")) for v in (3, 4, 5)
     ):
         # incremental upgrade: tables are deterministic functions of the
         # tile list, so only the missing side tables need writing
@@ -575,11 +597,13 @@ def _write_stats_tables(out: str, names: list[str], n: int) -> None:
         )
 
     _put("tile_stats.parquet", gen_tile_stats(names))
-    if not os.path.exists(os.path.join(out, "pip_tile_stats.parquet")):
+    if not os.path.exists(os.path.join(out, "pip_class_extents.parquet")):
         pdf, ldf, _ = gen_features(
             names, n_polygons=max(40, 8 * n), n_lines=max(40, 8 * n)
         )
-        _put("pip_tile_stats.parquet", gen_pip_tile_stats(names, pdf, ldf))
+        stats, extents = gen_pip_tile_stats(names, pdf, ldf)
+        _put("pip_tile_stats.parquet", stats)
+        _put("pip_class_extents.parquet", extents)
     if not os.path.exists(os.path.join(out, "videos.parquet")):
         vdf, vfdf = gen_video_tables(names)
         vschema = pa.schema(

@@ -643,3 +643,56 @@ def pip_classify_points(
         .cogroup(pip_tiles.select("cell_id", "bytes", "caption").groupBy("cell_id"))
         .applyInPandas(run, "x double, y double, value int")
     )
+
+
+RASTER_EXTENT_SCHEMA = (
+    "cell_id long, image_id string, value int, n_cells long, "
+    "min_row int, max_row int, min_col int, max_col int"
+)
+
+
+def raster_class_extents(pip_tiles: DataFrame) -> DataFrame:
+    """Raster -> vector extraction (the reverse of V5): decode each PIP
+    tile's png8 class raster and emit one row per present class value
+    with its painted cell count and row/col extent box — the first step
+    of polygonization (extent boxes are the feature envelopes a
+    vector-side consumer indexes on).
+
+    Narrow mapInPandas over (cell_id, image_id, bytes): decode cost
+    parallelizes with the scan, no shuffle; downstream groupBys on
+    (value) or spatial joins on the extent boxes are ordinary relational
+    plans.  Pure numpy per tile: one nonzero pass per present class.
+    """
+    from ..gridlib.png import png_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for cell, img_id, data in zip(
+                pdf["cell_id"], pdf["image_id"], pdf["bytes"]
+            ):
+                raster = png_decode(bytes(data))
+                for v in np.unique(raster):
+                    if v == 0:
+                        continue
+                    rr, cc = np.nonzero(raster == v)
+                    out.append(
+                        {
+                            "cell_id": int(cell),
+                            "image_id": img_id,
+                            "value": int(v),
+                            "n_cells": int(len(rr)),
+                            "min_row": int(rr.min()),
+                            "max_row": int(rr.max()),
+                            "min_col": int(cc.min()),
+                            "max_col": int(cc.max()),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[c.split()[0] for c in RASTER_EXTENT_SCHEMA.split(", ")],
+            )
+
+    return pip_tiles.select("cell_id", "image_id", "bytes").mapInPandas(
+        run, RASTER_EXTENT_SCHEMA
+    )
