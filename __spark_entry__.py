@@ -380,6 +380,15 @@ def _ngram_jaccard_spark(spark, sf_dir):
     return dedup.ngram_jaccard_pairs_spark(spark)
 
 
+def _components_spark(spark, sf_dir):
+    """Dedup clustering: connected components over the LSH pair graph —
+    Spark side is the Pregel-shaped iterative min-label propagation
+    (Spark SQL has no recursive CTE); oracle side is DuckDB's RECURSIVE
+    CTE transitive closure.  Same fixpoint, engine-native expressions."""
+    _register(spark, sf_dir, ["documents"])
+    return dedup.components_spark(spark)
+
+
 # kernel-path queries: Spark side is the real engine; oracle where possible
 _KERNEL_WITH_ORACLE = {
     "x1_tile_encode": (_tile_encode_spark, geosql.tile_encode_sql_query, ["lineitem"]),
@@ -389,6 +398,7 @@ _KERNEL_WITH_ORACLE = {
     "dd_minhash_bands": (_minhash_bands_spark, dedup.minhash_bands_sql, ["documents"]),
     "dd_minhash_pairs": (_minhash_pairs_spark, dedup.minhash_pairs_sql, ["documents"]),
     "dd_ngram_jaccard": (_ngram_jaccard_spark, dedup.ngram_jaccard_pairs_sql, ["documents"]),
+    "dd_components": (_components_spark, dedup.components_sql, ["documents"]),
 }
 
 def _tin_rasterize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -290,3 +290,88 @@ def ngram_jaccard_pairs_sql(dialect: str, threshold_x1000: int = 100) -> str:
     ) t
     WHERE (inter * 1000.0) / uni >= {threshold_x1000}
     """
+
+
+def components_spark(spark, max_iters: int = 32):
+    """Near-duplicate CLUSTERS: connected components over the LSH
+    candidate-pair graph via iterative min-label propagation — the
+    Pregel/BSP shape (each superstep: neighbor-min join + label update,
+    terminate when no label changes).  This is the dedup endgame: pair
+    lists become cluster ids, and "keep the min doc_id per cluster" is
+    then one groupBy.
+
+    Scale notes: each superstep is two shuffles on (doc_id); supersteps
+    are bounded by the cluster diameter (near-dup clusters are shallow).
+    Labels persist per iteration and the previous iteration unpersists —
+    at 10^12 scale add a localCheckpoint every ~5 supersteps to cut
+    lineage (documented here; at fixture scale the plan stays small).
+    The driver-side loop is control flow only — per-row data never
+    leaves the cluster (the convergence check is a count()).
+
+    Oracle: the same components as a DuckDB RECURSIVE CTE (transitive
+    closure + MIN) — see :func:`components_sql`.
+    """
+    from pyspark.sql import functions as F
+
+    pairs = minhash_pairs_spark(spark)
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).persist()
+    labels = (
+        spark.table("documents").selectExpr("doc_id", "doc_id AS comp").persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.dst, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("components did not converge")
+    edges.unpersist()
+    return labels.selectExpr("doc_id", "CAST(comp AS BIGINT) AS comp")
+
+
+def components_sql(dialect: str) -> str:
+    """DuckDB oracle for :func:`components_spark`: transitive closure of
+    the candidate-pair graph as a RECURSIVE CTE, component id = MIN
+    reachable doc_id.  (Spark SQL has no recursive CTE — the DataFrame
+    loop above is the Spark-native expression of the same fixpoint.)"""
+    pairs = minhash_pairs_sql(dialect)
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({pairs}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc
+    )
+    SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS comp
+    FROM reach GROUP BY doc
+    """
