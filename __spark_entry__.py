@@ -361,6 +361,7 @@ _RELATIONAL: dict[str, tuple[Callable[[str], str], list[str]]] = {
     "sim_knn_label": (similarity.knn_label_sql, ["embeddings"]),
     "sim_ivf_assign": (similarity.ivf_assign_sql, ["embeddings"]),
     "sim_ivf_topk": (similarity.ivf_topk_sql, ["embeddings"]),
+    "sim_ivf_topk2": (similarity.ivf_topk2_sql, ["embeddings"]),
     "evt_hourly": (_events_sql, ["events"]),
     "evt_sessions": (events.sessions_sql, ["events"]),
 }

@@ -245,3 +245,68 @@ def ivf_topk_sql(dialect: str, n_queries: int = 10, k: int = 5) -> str:
     ) t
     WHERE rnk <= {k}
     """
+
+
+def ivf_probe2_sql(dialect: str) -> str:
+    """IVF probe set, nprobe=2: each vector's 2 nearest centroids — the
+    recall knob (probe lists = the buckets a query's candidate join
+    touches; nprobe trades recall for join fan-out).  Same non-negative
+    true-squared-distance keys as the assignment; the 2nd-best is the
+    LEAST over keys excluding the argmin."""
+    # compute all K keys as columns once, then rank them
+    keys = ", ".join(
+        f"(vn2 + {_centroid_key(dialect, 'embedding', j)}) AS key{j}"
+        for j in range(K_CENTROIDS)
+    )
+    vn2_expr = _qdot(dialect, "embedding", "embedding")
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS centroid, key{j} AS dist_key FROM keyed"
+        for j in range(K_CENTROIDS)
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT vec_id, embedding, {keys}
+      FROM (SELECT vec_id, embedding, {vn2_expr} AS vn2 FROM embeddings) e
+    ),
+    ranked AS (
+      SELECT vec_id, centroid, dist_key,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY dist_key, centroid
+             ) AS probe_rank
+      FROM ({unions}) u
+    )
+    SELECT vec_id, CAST(centroid AS BIGINT) AS centroid,
+           CAST(dist_key AS BIGINT) AS dist_key,
+           CAST(probe_rank AS BIGINT) AS probe_rank
+    FROM ranked WHERE probe_rank <= 2
+    """
+
+
+def ivf_topk2_sql(dialect: str, n_queries: int = 10, k: int = 5) -> str:
+    """IVF ANN top-k with nprobe=2: candidates come from the query's TWO
+    nearest inverted lists (assignment lists of other vectors), exact
+    integer re-rank over the union — strictly higher recall than
+    nprobe=1 at ~2x the candidate fan-out, the standard IVF scaling
+    dial."""
+    assign = ivf_assign_sql(dialect)
+    probes = ivf_probe2_sql(dialect)
+    dot = _qdot(dialect, "q.embedding", "c.embedding")
+    return f"""
+    WITH a AS ({assign}),
+    probes AS ({probes})
+    SELECT query_id, neighbor_id, dot, rnk
+    FROM (
+      SELECT p.vec_id AS query_id, ca.vec_id AS neighbor_id,
+             {dot} AS dot,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY {dot} DESC, ca.vec_id
+             ) AS rnk
+      FROM probes p
+      JOIN a ca ON ca.centroid = p.centroid AND ca.vec_id <> p.vec_id
+      JOIN embeddings q ON q.vec_id = p.vec_id
+      JOIN embeddings c ON c.vec_id = ca.vec_id
+      WHERE p.vec_id < {n_queries}
+    ) t
+    WHERE rnk <= {k}
+    """
