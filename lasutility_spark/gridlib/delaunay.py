@@ -170,8 +170,15 @@ def delaunay(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     if n < 3:
         return np.empty((0, 3), dtype=np.int64)
 
-    # drop exact duplicates, keep first occurrence
-    _, first_idx = np.unique(np.stack([x, y], axis=1), axis=0, return_index=True)
+    # drop exact duplicates, keep first occurrence.  Pairs packed as
+    # complex128 (real=x, imag=y): complex equality is exact pairwise
+    # float equality, and unique's stable mergesort keeps the first
+    # occurrence — same result as unique(axis=0) at ~1/4 the cost (the
+    # axis=0 path lexsorts a structured view; this was the single
+    # largest slice of the TIN build).  (±0.0 would compare equal here
+    # where the byte-view compared unequal — impossible for tile-local
+    # coordinates, which are never signed zeros.)
+    _, first_idx = np.unique(x + 1j * y, return_index=True)
     keep_idx = np.sort(first_idx)
 
     minx, maxx = float(x.min()), float(x.max())
