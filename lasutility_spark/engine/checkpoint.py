@@ -171,6 +171,26 @@ def _data_files(path: str) -> set[str]:
     }
 
 
+def _compact_side_table(spark: SparkSession, path: str, subdir: str) -> None:
+    """Rewrite a ``_keys``/``_lineage`` side table into few files.
+
+    Each incremental resume appends small parquet deltas to the side
+    tables; after many resumes the ``_keys`` read fans out over hundreds
+    of tiny files.  Compaction rewrites ONLY the side table (never the
+    data files) via the same .next + rename protocol; it runs inside the
+    marker-removed mutation window, so a crash mid-compact leaves a torn
+    checkpoint that is recomputed — never silently wrong."""
+    full = os.path.join(path, subdir)
+    nxt = full + ".next"
+    import shutil
+
+    if os.path.exists(nxt):
+        shutil.rmtree(nxt)
+    spark.read.parquet(full).coalesce(4).write.parquet(nxt)
+    shutil.rmtree(full)
+    os.rename(nxt, full)
+
+
 def resume_stage(
     spark: SparkSession,
     wanted: DataFrame,
@@ -180,6 +200,7 @@ def resume_stage(
     inputs: list[str],
     params: dict | None = None,
     key: str = "cell_id",
+    compact_after: int = 16,
 ) -> DataFrame:
     """Compute-or-reuse: run ``compute(pending)`` only for missing keys.
 
@@ -195,6 +216,17 @@ def resume_stage(
     """
     todo = pending_keys(spark, wanted, path, params, key)
     m = load_manifest(path)
+    # a params-hash mismatch means todo == ALL keys: the existing table's
+    # rows were computed under different params and must not be kept, so
+    # invalidate the manifest here and take the full .next+rename rewrite
+    # below (appending the full recompute onto the stale table would
+    # duplicate keys and keep stale-params rows)
+    if (
+        m is not None
+        and params is not None
+        and m["params_hash"] != _params_hash(params)
+    ):
+        m = None
     if m is not None and todo.isEmpty():
         return spark.read.parquet(path)
     fresh = compute(todo)
@@ -214,6 +246,13 @@ def resume_stage(
     before = _data_files(path)
     fresh.write.mode("append").parquet(path)
     new_files = sorted(_data_files(path) - before)
+    if not new_files:
+        # compute(todo) produced zero rows (valid: e.g. every pending key
+        # filtered out upstream) — Spark wrote no part files, so there is
+        # no delta to commit.  Restore the marker instead of tearing the
+        # checkpoint on an empty-but-valid append.
+        open(os.path.join(path, SUCCESS), "w").close()
+        return spark.read.parquet(path)
     delta = spark.read.parquet(*[os.path.join(path, f) for f in new_files])
     delta.select(key).distinct().write.mode("append").parquet(
         os.path.join(path, KEYS_DIR)
@@ -230,6 +269,13 @@ def resume_stage(
         {"snapshot": len(snapshots) + 1, "written_at": time.time(),
          "rows": d_rows, "n_keys": d_keys, "files": new_files}
     )
+    # side-table compaction: after ``compact_after`` snapshots the
+    # accumulated per-resume deltas are rewritten into few files (data
+    # files are never touched).  Still inside the mutation window.
+    if compact_after and len(snapshots) % compact_after == 0:
+        _compact_side_table(spark, path, KEYS_DIR)
+        _compact_side_table(spark, path, LINEAGE_DIR)
+        snapshots[-1]["compacted_side_tables"] = True
     m.update(
         row_count=m["row_count"] + d_rows,
         n_completed_keys=m["n_completed_keys"] + d_keys,

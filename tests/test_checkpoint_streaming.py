@@ -125,6 +125,105 @@ def test_checkpoint_resume_is_o_new_work(spark, tmp_path):
     assert len(checkpoint.load_manifest(path)["snapshots"]) == 2
 
 
+def test_resume_params_mismatch_rewrites_not_appends(spark, tmp_path):
+    """Resume with different params must take the full rewrite path:
+    no duplicate keys, no stale-params rows kept, manifest params_hash
+    refreshed (round-3 ADVICE: the append path was taken instead)."""
+    path = str(tmp_path / "params_stage")
+    df = spark.createDataFrame(
+        pd.DataFrame({"cell_id": [1, 2, 3], "v": [10, 20, 30]})
+    )
+    checkpoint.write_stage(df, path, "tin", ["in.parquet"], {"px": 64})
+    wanted = spark.createDataFrame(pd.DataFrame({"cell_id": [1, 2, 3]}))
+
+    def compute(pending):
+        return pending.select(
+            "cell_id", (F.col("cell_id") * 100).alias("v")
+        )
+
+    out = checkpoint.resume_stage(
+        spark, wanted, path, compute, "tin", ["in.parquet"], {"px": 128}
+    )
+    rows = {r["cell_id"]: r["v"] for r in out.collect()}
+    assert rows == {1: 100, 2: 200, 3: 300}  # no stale px=64 rows
+    assert out.count() == 3  # no duplicated keys
+    m = checkpoint.load_manifest(path)
+    assert m["params_hash"] == checkpoint._params_hash({"px": 128})
+    assert m["row_count"] == 3 and m["n_completed_keys"] == 3
+    # a same-params re-resume is now a no-op against the NEW table
+    out2 = checkpoint.resume_stage(
+        spark, wanted, path,
+        lambda p: (_ for _ in ()).throw(AssertionError("recompute")),
+        "tin", ["in.parquet"], {"px": 128},
+    )
+    assert out2.count() == 3
+
+
+def test_resume_empty_delta_keeps_checkpoint_intact(spark, tmp_path):
+    """compute(todo) returning zero rows is an empty-but-valid append:
+    the SUCCESS marker is restored and nothing tears (round-3 ADVICE)."""
+    path = str(tmp_path / "empty_stage")
+    df = spark.createDataFrame(
+        pd.DataFrame({"cell_id": [1, 2], "v": [10, 20]})
+    )
+    checkpoint.write_stage(df, path, "tin", ["in.parquet"], {"px": 64})
+    wanted = spark.createDataFrame(pd.DataFrame({"cell_id": [1, 2, 3]}))
+
+    def compute(pending):
+        # every pending key filtered out upstream -> zero-row delta
+        return pending.select(
+            "cell_id", (F.col("cell_id") * 2).alias("v")
+        ).filter(F.lit(False))
+
+    out = checkpoint.resume_stage(
+        spark, wanted, path, compute, "tin", ["in.parquet"], {"px": 64}
+    )
+    assert sorted(r["cell_id"] for r in out.collect()) == [1, 2]
+    assert os.path.exists(os.path.join(path, checkpoint.SUCCESS))
+    # checkpoint still valid: a further resume sees only key 3 pending
+    todo = checkpoint.pending_keys(spark, wanted, path, {"px": 64})
+    assert sorted(r["cell_id"] for r in todo.collect()) == [3]
+
+
+def test_resume_side_table_compaction_bounds_files(spark, tmp_path):
+    """Many sequential 1-key resumes keep the _keys/ file fan-out bounded
+    (side tables are compacted every ``compact_after`` snapshots; data
+    files are never rewritten) and resume semantics stay identical."""
+    path = str(tmp_path / "compact_stage")
+    df = spark.createDataFrame(pd.DataFrame({"cell_id": [0], "v": [0]}))
+    checkpoint.write_stage(df, path, "tin", ["in.parquet"], {"px": 64})
+
+    def compute(pending):
+        return pending.select("cell_id", (F.col("cell_id") * 2).alias("v"))
+
+    n_resumes = 12
+    for k in range(1, n_resumes + 1):
+        wanted = spark.createDataFrame(
+            pd.DataFrame({"cell_id": list(range(k + 1))})
+        )
+        checkpoint.resume_stage(
+            spark, wanted, path, compute, "tin", ["in.parquet"],
+            {"px": 64}, compact_after=5,
+        )
+    keys_files = [
+        f for f in os.listdir(os.path.join(path, checkpoint.KEYS_DIR))
+        if f.endswith(".parquet")
+    ]
+    # without compaction this would be >= 13 delta files (1 + 12 appends)
+    assert len(keys_files) <= 8
+    keys = checkpoint.completed_keys(spark, path)
+    assert sorted(r["cell_id"] for r in keys.collect()) == list(
+        range(n_resumes + 1)
+    )
+    out = spark.read.parquet(path)
+    assert {r["cell_id"]: r["v"] for r in out.collect()} == {
+        k: k * 2 if k else 0 for k in range(n_resumes + 1)
+    }
+    m = checkpoint.load_manifest(path)
+    assert m["n_completed_keys"] == n_resumes + 1
+    assert any(s.get("compacted_side_tables") for s in m["snapshots"])
+
+
 def test_torn_checkpoint_is_flagged(spark, tmp_path, caplog):
     """A checkpoint missing its _SUCCESS_STAGE marker (torn write) is
     recomputed AND logged as invalidated — never a silent discard."""
