@@ -70,10 +70,14 @@ def _decoded_feats(b_feats) -> list:
     key = id(val)
     got = _DECODED_BROADCASTS.get(key)
     if got is not None and got[0] is val:
+        _DECODED_BROADCASTS[key] = _DECODED_BROADCASTS.pop(key)  # refresh LRU
         return got[1]
     raw = val[0] if isinstance(val, tuple) else val
     decoded = [(s, l, wkb.decode(g)) for s, l, g in raw]
-    _DECODED_BROADCASTS.clear()  # hold at most one set per worker
+    while len(_DECODED_BROADCASTS) >= 2:  # LRU of 2: a job alternating
+        # two feature broadcasts (e.g. polygon + line stages) keeps both
+        # decoded; insertion order is eviction order (dict is ordered)
+        _DECODED_BROADCASTS.pop(next(iter(_DECODED_BROADCASTS)))
     _DECODED_BROADCASTS[key] = (val, decoded)
     return decoded
 

@@ -559,11 +559,146 @@ class GpsTime11V2Reader:
         return struct.unpack("<d", struct.pack("<Q", lg[self.last]))[0]
 
 
+def _u8_clamp(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _div2_trunc(v: int) -> int:
+    """C-style truncating division by 2 (toward zero, negatives too)."""
+    return v // 2 if v >= 0 else -((-v) // 2)
+
+
+class Rgb12V2Reader:
+    """RGB12 item, record version 2 (the 6-byte r/g/b uint16 triple of
+    point formats 2/3) — byte-wise diff model per channel with a 7-bit
+    changed-bytes symbol; g/b predicted from the r diff (public LASzip
+    layout: lasreaditemcompressed_rgb12_v2).  The reference reads these
+    through the native laszip library (LAS/LasZipNetReader.cs:63-89)."""
+
+    def __init__(self, dec: ArithmeticDecoder, first: bytes) -> None:
+        self.dec = dec
+        self.r, self.g, self.b = struct.unpack("<3H", first)
+        self.m_byte_used = ArithmeticModel(128)
+        self.m_diff = [ArithmeticModel(256) for _ in range(6)]
+
+    def read(self) -> tuple[int, int, int]:
+        dec = self.dec
+        lr, lg, lb = self.r, self.g, self.b
+        sym = dec.decode_symbol(self.m_byte_used)
+        if sym & 1:
+            corr = dec.decode_symbol(self.m_diff[0])
+            r = (corr + (lr & 0xFF)) & 0xFF
+        else:
+            r = lr & 0xFF
+        if sym & 2:
+            corr = dec.decode_symbol(self.m_diff[1])
+            r |= ((corr + (lr >> 8)) & 0xFF) << 8
+        else:
+            r |= lr & 0xFF00
+        if sym & 64:
+            diff = (r & 0xFF) - (lr & 0xFF)
+            if sym & 4:
+                corr = dec.decode_symbol(self.m_diff[2])
+                g = (corr + _u8_clamp(diff + (lg & 0xFF))) & 0xFF
+            else:
+                g = lg & 0xFF
+            if sym & 16:
+                corr = dec.decode_symbol(self.m_diff[4])
+                diff = _div2_trunc(diff + (g & 0xFF) - (lg & 0xFF))
+                b = (corr + _u8_clamp(diff + (lb & 0xFF))) & 0xFF
+            else:
+                b = lb & 0xFF
+            diff = (r >> 8) - (lr >> 8)
+            if sym & 8:
+                corr = dec.decode_symbol(self.m_diff[3])
+                g |= ((corr + _u8_clamp(diff + (lg >> 8))) & 0xFF) << 8
+            else:
+                g |= lg & 0xFF00
+            if sym & 32:
+                corr = dec.decode_symbol(self.m_diff[5])
+                diff = _div2_trunc(diff + (g >> 8) - (lg >> 8))
+                b |= ((corr + _u8_clamp(diff + (lb >> 8))) & 0xFF) << 8
+            else:
+                b |= lb & 0xFF00
+        else:
+            g = r
+            b = r
+        self.r, self.g, self.b = r, g, b
+        return r, g, b
+
+
+class Rgb12V2Writer:
+    """Exact encode mirror of :class:`Rgb12V2Reader` — same symbol order
+    (byte-used mask; r-low, r-high, then g-low, b-low, g-high, b-high
+    corrections, each predicted from the running diff)."""
+
+    def __init__(self, enc: "ArithmeticEncoder", first: bytes) -> None:
+        self.enc = enc
+        self.r, self.g, self.b = struct.unpack("<3H", first)
+        self.m_byte_used = ArithmeticModel(128)
+        self.m_diff = [ArithmeticModel(256) for _ in range(6)]
+
+    def write(self, rgb: tuple[int, int, int]) -> None:
+        enc = self.enc
+        r, g, b = rgb
+        lr, lg, lb = self.r, self.g, self.b
+        sym = 0
+        if (r & 0xFF) != (lr & 0xFF):
+            sym |= 1
+        if (r >> 8) != (lr >> 8):
+            sym |= 2
+        if (g & 0xFF) != (lg & 0xFF):
+            sym |= 4
+        if (g >> 8) != (lg >> 8):
+            sym |= 8
+        if (b & 0xFF) != (lb & 0xFF):
+            sym |= 16
+        if (b >> 8) != (lb >> 8):
+            sym |= 32
+        if (
+            (r & 0xFF) != (g & 0xFF) or (r & 0xFF) != (b & 0xFF)
+            or (r >> 8) != (g >> 8) or (r >> 8) != (b >> 8)
+        ):
+            sym |= 64
+        enc.encode_symbol(self.m_byte_used, sym)
+        if sym & 1:
+            enc.encode_symbol(self.m_diff[0], ((r & 0xFF) - (lr & 0xFF)) & 0xFF)
+        if sym & 2:
+            enc.encode_symbol(self.m_diff[1], ((r >> 8) - (lr >> 8)) & 0xFF)
+        if sym & 64:
+            diff = (r & 0xFF) - (lr & 0xFF)
+            if sym & 4:
+                enc.encode_symbol(
+                    self.m_diff[2],
+                    ((g & 0xFF) - _u8_clamp(diff + (lg & 0xFF))) & 0xFF,
+                )
+            if sym & 16:
+                diff = _div2_trunc(diff + (g & 0xFF) - (lg & 0xFF))
+                enc.encode_symbol(
+                    self.m_diff[4],
+                    ((b & 0xFF) - _u8_clamp(diff + (lb & 0xFF))) & 0xFF,
+                )
+            diff = (r >> 8) - (lr >> 8)
+            if sym & 8:
+                enc.encode_symbol(
+                    self.m_diff[3],
+                    ((g >> 8) - _u8_clamp(diff + (lg >> 8))) & 0xFF,
+                )
+            if sym & 32:
+                diff = _div2_trunc(diff + (g >> 8) - (lg >> 8))
+                enc.encode_symbol(
+                    self.m_diff[5],
+                    ((b >> 8) - _u8_clamp(diff + (lb >> 8))) & 0xFF,
+                )
+        self.r, self.g, self.b = r, g, b
+
+
 # --- container level -------------------------------------------------------
 
 LASZIP_VLR_RECORD_ID = 22204
 ITEM_POINT10 = 6
 ITEM_GPSTIME11 = 7
+ITEM_RGB12 = 8
 _ITEM_NAMES = {0: "BYTE", 1: "SHORT", 2: "INT", 3: "LONG", 4: "FLOAT",
                5: "DOUBLE", 6: "POINT10", 7: "GPSTIME11", 8: "RGB12",
                9: "WAVEPACKET13", 10: "POINT14", 11: "RGB14",
@@ -603,8 +738,10 @@ def laz_chunk_plan(data: bytes):
     IS the split list for a distributed scan: at scale one Spark task
     decodes one chunk (the analog of a parquet row group).
 
-    ``byte_start`` is None for a sequential single-chunk stream (real
-    laszip files without our raw size table)."""
+    ``byte_start`` is always a concrete offset: single-chunk streams use
+    the point-data start, multi-chunk streams require a parsable chunk
+    table and raise otherwise (the arithmetic decoder's byte lookahead
+    makes sequential chunk-boundary recovery impossible)."""
     header = read_header(data)
     if not (header["point_format"] & 0x80):
         raise ValueError("not LAZ (compression bit clear) — use las.read_las")
@@ -612,11 +749,13 @@ def laz_chunk_plan(data: bytes):
     if vlr["compressor"] not in (1, 2):
         raise ValueError(f"unsupported laszip compressor {vlr['compressor']}")
     for itype, _isize, iver in vlr["items"]:
-        if (itype, iver) not in ((ITEM_POINT10, 2), (ITEM_GPSTIME11, 2)):
+        if (itype, iver) not in (
+            (ITEM_POINT10, 2), (ITEM_GPSTIME11, 2), (ITEM_RGB12, 2)
+        ):
             raise ValueError(
                 "unsupported laszip item "
-                f"{_ITEM_NAMES.get(itype, itype)} v{iver} (POINT10/GPSTIME11 "
-                "v2 supported — the reference fixture's layout)"
+                f"{_ITEM_NAMES.get(itype, itype)} v{iver} (POINT10/GPSTIME11/"
+                "RGB12 v2 supported — point formats 0-3)"
             )
     n = header["point_count"]
     pos = header["offset_to_points"]
@@ -675,14 +814,20 @@ def laz_chunk_plan(data: bytes):
 
 
 def decode_laz_chunk(data: bytes, vlr: dict, start: int, count: int):
-    """One chunk -> (X, Y, Z int64 raw-quantized, cls, returns, gps)."""
+    """One chunk -> (X, Y, Z int64 raw-quantized, cls, returns, gps, rgb).
+
+    ``rgb`` is an (n, 3) uint16 array for point formats 2/3 (RGB12 item
+    present), else None.  Items decode interleaved per point in VLR item
+    order, sharing one arithmetic decoder — the laszip stream layout."""
     has_gps = any(t == ITEM_GPSTIME11 for t, _s, _v in vlr["items"])
+    has_rgb = any(t == ITEM_RGB12 for t, _s, _v in vlr["items"])
     xs = np.empty(count, np.int64)
     ys = np.empty(count, np.int64)
     zs = np.empty(count, np.int64)
     cls = np.empty(count, np.uint8)
     rets = np.empty(count, np.uint8)
     gps = np.zeros(count, np.float64)
+    rgb = np.zeros((count, 3), np.uint16) if has_rgb else None
     pos = start
     raw10 = data[pos : pos + 20]
     pos += 20
@@ -690,14 +835,21 @@ def decode_laz_chunk(data: bytes, vlr: dict, start: int, count: int):
     if has_gps:
         rawgps = data[pos : pos + 8]
         pos += 8
+    rawrgb = b""
+    if has_rgb:
+        rawrgb = data[pos : pos + 6]
+        pos += 6
     dec = ArithmeticDecoder(data, pos)
     p10 = Point10V2Reader(dec, raw10)
     gpsr = GpsTime11V2Reader(dec, rawgps) if has_gps else None
+    rgbr = Rgb12V2Reader(dec, rawrgb) if has_rgb else None
     xs[0], ys[0], zs[0] = p10.x, p10.y, p10.z
     cls[0] = p10.classification
     rets[0] = p10.flags & 0x07
     if has_gps:
         gps[0] = struct.unpack("<d", rawgps)[0]
+    if rgb is not None:
+        rgb[0] = struct.unpack("<3H", rawrgb)
     dec.init()
     for j in range(1, count):
         x, y, z, _inten, flags, c, _sa, _ud, _psid = p10.read()
@@ -706,7 +858,9 @@ def decode_laz_chunk(data: bytes, vlr: dict, start: int, count: int):
         rets[j] = flags & 0x07
         if gpsr is not None:
             gps[j] = gpsr.read()
-    return xs, ys, zs, cls, rets, gps
+        if rgbr is not None:
+            rgb[j] = rgbr.read()
+    return xs, ys, zs, cls, rets, gps, rgb
 
 
 def read_laz(data: bytes):
@@ -724,6 +878,8 @@ def read_laz(data: bytes):
     ox, oy, oz = header["offset"]
     header["_returns"] = np.concatenate([p[4] for p in parts])
     header["_gps_time"] = np.concatenate([p[5] for p in parts])
+    if parts[0][6] is not None:
+        header["_rgb"] = np.concatenate([p[6] for p in parts])
     return header, xs * sx + ox, ys * sy + oy, zs * sz + oz, cls
 
 
@@ -1143,9 +1299,12 @@ def write_laz(
     gps_time: np.ndarray | None = None,
     scale: tuple[float, float, float] = (0.01, 0.01, 0.01),
     chunk_size: int = 50000,
+    rgb: np.ndarray | None = None,
 ) -> bytes:
-    """Arrays -> compressed LAZ bytes (LAS 1.2 header, point format 0/1
+    """Arrays -> compressed LAZ bytes (LAS 1.2 header, point format 0-3
     with the compression bit, laszip VLR, compressor-2 chunked stream).
+    ``rgb`` is an (n, 3) uint16 array -> point format 2 (or 3 with
+    ``gps_time``) carrying the RGB12 v2 item.
 
     Round-trips :func:`read_laz` exactly (quantized int coordinates,
     classes, gps times).  The trailing chunk table uses the
@@ -1158,8 +1317,11 @@ def write_laz(
     z = np.asarray(z, np.float64)
     n = len(x)
     has_gps = gps_time is not None
-    fmt = 1 if has_gps else 0
-    rec_len = 28 if has_gps else 20
+    has_rgb = rgb is not None
+    fmt = (1 if has_gps else 0) | (2 if has_rgb else 0)
+    rec_len = 20 + (8 if has_gps else 0) + (6 if has_rgb else 0)
+    if has_rgb:
+        rgb = np.asarray(rgb, np.uint16).reshape(n, 3)
     sx, sy, sz = scale
     ox = float(np.floor(x.min())) if n else 0.0
     oy = float(np.floor(y.min())) if n else 0.0
@@ -1188,9 +1350,13 @@ def write_laz(
         if has_gps:
             g0 = struct.pack("<d", float(gps_time[i]))
             chunks += g0
+        if has_rgb:
+            c0 = struct.pack("<3H", *(int(v) for v in rgb[i]))
+            chunks += c0
         enc = ArithmeticEncoder()
         p10 = Point10V2Writer(enc, raw10(i))
         gpsw = GpsTime11V2Writer(enc, g0) if has_gps else None
+        rgbw = Rgb12V2Writer(enc, c0) if has_rgb else None
         for j in range(i + 1, i + count):
             p10.write(
                 (int(qx[j]), int(qy[j]), int(qz[j]), 0, 0x11, int(cls[j]),
@@ -1198,6 +1364,10 @@ def write_laz(
             )
             if gpsw is not None:
                 gpsw.write(float(gps_time[j]))
+            if rgbw is not None:
+                rgbw.write(
+                    (int(rgb[j, 0]), int(rgb[j, 1]), int(rgb[j, 2]))
+                )
         chunks += enc.done()
         sizes.append(len(chunks) - start)
         i += count
@@ -1206,6 +1376,8 @@ def write_laz(
     items = [(ITEM_POINT10, 20, 2)]
     if has_gps:
         items.append((ITEM_GPSTIME11, 8, 2))
+    if has_rgb:
+        items.append((ITEM_RGB12, 6, 2))
     vlr_body = struct.pack(
         "<HHBBHIIqqH", 2, 0, 2, 2, 0, 0, chunk_size, 0, -1, len(items)
     )

@@ -128,10 +128,16 @@ def _shingle_hash_numpy(t: str):
     ) % P31
 
 
-def minhash_bands_spark(spark, rows_per_band: int = K_MINHASH // BANDS):
+def minhash_bands_spark(
+    spark,
+    rows_per_band: int = K_MINHASH // BANDS,
+    keep_sig: bool = False,
+):
     """DataFrame twin of minhash_bands_sql: numpy signature UDF + inline
     band explode; output columns (doc_id, band, band_key) match the SQL
-    oracle bit-for-bit."""
+    oracle bit-for-bit.  ``keep_sig`` additionally carries the full
+    signature array ``mh`` on every band row (used by the min-band pair
+    emission in :func:`minhash_pairs_spark`)."""
     from pyspark.sql import functions as F
 
     a_arr = _AS
@@ -159,22 +165,42 @@ def minhash_bands_spark(spark, rows_per_band: int = K_MINHASH // BANDS):
         for r in range(1, rows_per_band):
             key += f" + element_at(mh, {i0 + r + 1})"
         structs.append(f"struct({b}L AS band, CAST({key} AS BIGINT) AS band_key)")
-    return docs.select(
-        "doc_id", F.expr("inline(array(" + ", ".join(structs) + "))")
-    )
+    cols = ["doc_id", F.expr("inline(array(" + ", ".join(structs) + "))")]
+    if keep_sig:
+        cols.insert(1, "mh")
+    return docs.select(*cols)
 
 
-def minhash_pairs_spark(spark):
+def minhash_pairs_spark(spark, rows_per_band: int = K_MINHASH // BANDS):
     # persist the band table: both branches of the bucket self-join read
     # it, and without the cache Spark recomputes the signature UDF twice.
     # At 10^12 scale the signature/band table is MATERIALIZED once (a
     # stored column family / parquet table) and every dedup probe joins
     # against it — persist() is the sandbox analog of that design.
-    bands = minhash_bands_spark(spark).persist()
+    #
+    # Min-band emission: a pair colliding in several bands is kept ONLY
+    # in its first colliding band, decided by a codegen'd filter over
+    # the carried signatures (band_key -> signature slots is injective,
+    # so "earlier band collided" is element-wise mh equality).  This
+    # replaces the global DISTINCT — the only exchange over the
+    # candidate-pair set itself — with a narrow per-row predicate; the
+    # remaining shuffle is the band equi-join over the (docs x BANDS)
+    # table, which is the part that scales.
+    bands = minhash_bands_spark(spark, rows_per_band, keep_sig=True).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     from pyspark.sql import functions as F
 
+    first_band = " AND ".join(
+        f"(a.band <= {bp} OR NOT ("
+        + " AND ".join(
+            f"element_at(a.mh, {bp * rows_per_band + r + 1}) = "
+            f"element_at(b.mh, {bp * rows_per_band + r + 1})"
+            for r in range(rows_per_band)
+        )
+        + "))"
+        for bp in range(BANDS - 1)
+    )
     return (
         a.join(
             b,
@@ -182,8 +208,8 @@ def minhash_pairs_spark(spark):
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where(F.expr(first_band))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
 
 
@@ -320,35 +346,43 @@ def components_spark(spark, max_iters: int = 32):
     labels = (
         spark.table("documents").selectExpr("doc_id", "doc_id AS comp").persist()
     )
-    labels.count()
-    for _ in range(max_iters):
-        nbr = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy("dst")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        new_labels = (
-            labels.join(nbr, labels.doc_id == nbr.dst, "left")
-            .select(
-                labels.doc_id,
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                ).alias("comp"),
+    try:
+        labels.count()
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .groupBy("dst")
+                .agg(F.min("comp").alias("nbr_comp"))
             )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+            new_labels = (
+                labels.join(nbr, labels.doc_id == nbr.dst, "left")
+                .select(
+                    labels.doc_id,
+                    F.least(
+                        F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                    ).alias("comp"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .where(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError("components did not converge")
+    except BaseException:
+        # don't leak cached partitions for the session on non-convergence
+        # or any mid-superstep failure (the result path unpersists edges
+        # below; labels stays persisted only as the returned result)
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError("components did not converge")
+        edges.unpersist()
+        raise
     edges.unpersist()
     return labels.selectExpr("doc_id", "CAST(comp AS BIGINT) AS comp")
 
