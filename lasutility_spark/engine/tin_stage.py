@@ -156,43 +156,78 @@ def rasterize_images_fused(images: DataFrame, px: int = 128,
 
     def run(batches):
         for pdf in batches:
-            rows = []
-            for cap, data in zip(pdf["caption"], pdf["bytes"]):
-                name, minx, miny, maxx, maxy, cs, _ = dg.parse_caption(cap)
-                dem_in = png16_to_dem(bytes(data), dg.Z_MIN, dg.Z_MAX)
-                x, y, z, cls = dg.sample_points_from_tile(name, dem_in, minx, miny, cs)
-                bounds = RasterBounds(px, px, minx, miny, maxx, maxy)
-                dem = np.full((px, px), np.nan, dtype=np.float32)
-                n_tri = 0
-                if len(x) >= 3:
-                    tin = Tin(x, y, z, cls)
-                    n_tri = tin.triangle_count
-                    tin.rasterize_dem(bounds, dem=dem)
-                cell = int(cid_fn(np.array([minx]), np.array([miny]), 1000)[0])
-                caption = dg.CAPTION_FMT.format(
-                    name=name, minx=minx, miny=miny, maxx=maxx, maxy=maxy,
-                    cellsize=(maxx - minx) / px, nodata=-9999,
-                )
-                filled = int((~np.isnan(dem)).sum())
-                rows.append(
-                    {
-                        "cell_id": cell,
-                        "image_id": name,
-                        "bytes": dem_to_png16(dem, dg.Z_MIN, dg.Z_MAX),
-                        "w": px, "h": px, "fmt": "png16",
-                        "caption": caption,
-                        "phash": phash64(np.nan_to_num(dem)),
-                        "n_points": len(x),
-                        "n_triangles": n_tri,
-                        "filled_cells": filled,
-                        "missing_cells": px * px - filled,
-                        "a2_filled_cells": -1,
-                    }
-                )
-            cols = [c.split()[0] for c in TILE_SCHEMA.split(", ")]
-            yield pd.DataFrame(rows, columns=cols)
+            yield _rasterize_tiles_pdf(pdf["caption"], pdf["bytes"], px)
 
     return images.select("caption", "bytes").mapInPandas(run, TILE_SCHEMA)
+
+
+def _rasterize_tiles_pdf(caps, datas, px: int) -> "pd.DataFrame":
+    """Shared per-tile loop of the fused and scan-local q1 paths:
+    caption+png16 bytes -> TIN -> DEM tile rows."""
+    import pandas as pd
+
+    from .. import datagen as dg
+    from ..gridlib.png import png16_to_dem
+    from ..gridlib.tilenamer import cell_id as cid_fn
+
+    rows = []
+    for cap, data in zip(caps, datas):
+        name, minx, miny, maxx, maxy, cs, _ = dg.parse_caption(cap)
+        dem_in = png16_to_dem(bytes(data), dg.Z_MIN, dg.Z_MAX)
+        x, y, z, cls = dg.sample_points_from_tile(name, dem_in, minx, miny, cs)
+        bounds = RasterBounds(px, px, minx, miny, maxx, maxy)
+        dem = np.full((px, px), np.nan, dtype=np.float32)
+        n_tri = 0
+        if len(x) >= 3:
+            tin = Tin(x, y, z, cls)
+            n_tri = tin.triangle_count
+            tin.rasterize_dem(bounds, dem=dem)
+        cell = int(cid_fn(np.array([minx]), np.array([miny]), 1000)[0])
+        caption = dg.CAPTION_FMT.format(
+            name=name, minx=minx, miny=miny, maxx=maxx, maxy=maxy,
+            cellsize=(maxx - minx) / px, nodata=-9999,
+        )
+        filled = int((~np.isnan(dem)).sum())
+        rows.append(
+            {
+                "cell_id": cell,
+                "image_id": name,
+                "bytes": dem_to_png16(dem, dg.Z_MIN, dg.Z_MAX),
+                "w": px, "h": px, "fmt": "png16",
+                "caption": caption,
+                "phash": phash64(np.nan_to_num(dem)),
+                "n_points": len(x),
+                "n_triangles": n_tri,
+                "filled_cells": filled,
+                "missing_cells": px * px - filled,
+                "a2_filled_cells": -1,
+            }
+        )
+    cols = [c.split()[0] for c in TILE_SCHEMA.split(", ")]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def rasterize_images_scanlocal(splits, px: int = 128,
+                               strip: tuple[float, float] | None = None):
+    """Scan-local q1: tasks read their own parquet row groups with
+    pyarrow (``sources.parquet_row_group_splits``), so tile bytes never
+    transit the JVM->python Arrow IPC path — see
+    :func:`..engine.pip_stage.classify_images_scanlocal` for the
+    measured motivation (the framing memcpy is bus-bound and caps the
+    N->4N scaling quotient).  Identical output rows to
+    :func:`rasterize_images_fused`."""
+    from .sources import scan_row_groups
+
+    cols = ["caption", "bytes"] + (["miny"] if strip else [])
+
+    def run(batches):
+        for pdf in scan_row_groups(batches, cols):
+            if strip is not None:
+                # exact shard predicate; row-group stats pruning is advisory
+                pdf = pdf[(pdf["miny"] >= strip[0]) & (pdf["miny"] < strip[1])]
+            yield _rasterize_tiles_pdf(pdf["caption"], pdf["bytes"], px)
+
+    return splits.mapInPandas(run, TILE_SCHEMA)
 
 
 SUB_SCHEMA = (

@@ -301,3 +301,57 @@ def test_classify_broadcast_matches_cogrouped(spark, images_dir):
         ).collect()
     }
     assert a == c
+    b_pc = pip_stage.per_cell_broadcast(
+        spark, pip_stage.per_cell_feature_lists(feats)
+    )
+    d = {
+        (r["cell_id"], r["value"]): r["n_points"]
+        for r in pip_stage.classify_images_prebroadcast(
+            images, b_pc, cm, px=64
+        ).collect()
+    }
+    assert a == d
+    from lasutility_spark.engine import sources as esources
+
+    splits = esources.parquet_row_group_splits(
+        spark, f"{images_dir}/images.parquet"
+    )
+    e = {
+        (r["cell_id"], r["value"]): r["n_points"]
+        for r in pip_stage.classify_images_scanlocal(
+            splits, b_pc, cm, px=64
+        ).collect()
+    }
+    assert a == e
+
+
+def test_scanlocal_q1_matches_fused(spark, images_dir):
+    """Scan-local q1 (python tasks read their own parquet row groups) is
+    byte-identical to the fused cached-table path, including under a
+    strip predicate (row-group stats pruning + exact kernel filter)."""
+    from lasutility_spark.engine import sources as esources
+
+    images = pts.read_images(spark, images_dir)
+    splits = esources.parquet_row_group_splits(
+        spark, f"{images_dir}/images.parquet"
+    )
+    a = {r["image_id"]: (bytes(r["bytes"]), r["n_points"]) for r in
+         tin_stage.rasterize_images_fused(images, px=32).collect()}
+    b = {r["image_id"]: (bytes(r["bytes"]), r["n_points"]) for r in
+         tin_stage.rasterize_images_scanlocal(splits, px=32).collect()}
+    assert a == b and len(a) == 9
+    # strip slicing: the two shard halves partition the full output
+    lo = float(datagen.ANCHOR_N)
+    mid, hi = lo + 2 * datagen.TILE_M, lo + 3 * datagen.TILE_M
+    parts = {}
+    for s in ((lo, mid), (mid, hi)):
+        sp = esources.parquet_row_group_splits(
+            spark, f"{images_dir}/images.parquet", strip_col="miny", strip=s
+        )
+        got = {r["image_id"]: (bytes(r["bytes"]), r["n_points"]) for r in
+               tin_stage.rasterize_images_scanlocal(
+                   sp, px=32, strip=s
+               ).collect()}
+        assert not set(got) & set(parts)
+        parts.update(got)
+    assert parts == a
