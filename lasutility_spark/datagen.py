@@ -175,6 +175,16 @@ def sample_points_from_tile(
     x = ex[sel].ravel()
     y = ny[sel].ravel()
     z = dem[sel].ravel().astype(np.float64)
+    z, cls = assign_classes(x, y, z)
+    return x, y, z, cls
+
+
+def assign_classes(x, y, z):
+    """Deterministic veg-class assignment + height lift for sampled
+    points (ground 80%, veg classes 3/4/5 sit above the terrain).
+    Derived from (x, y) only, so the packed shuffle path
+    (engine.points.decode_points_packed) can recompute it kernel-side
+    bit-for-bit instead of shipping z/cls through the shuffle."""
     v = hash01((x * 100).astype(np.int64) + 13, (y * 100).astype(np.int64))
     cls = np.full(len(x), topodb.CLS_GROUND, dtype=np.uint8)
     veg = v >= 0.8
@@ -183,7 +193,7 @@ def sample_points_from_tile(
     cls[v >= 0.95] = topodb.CLS_HIGH_VEGETATION
     # vegetation points sit above the terrain
     z = z + np.where(cls == topodb.CLS_GROUND, 0.0, 2.0 + 14.0 * v)
-    return x, y, z, cls
+    return z, cls
 
 
 # vector features (FIXTURES.md §2) ----------------------------------------
@@ -386,7 +396,12 @@ def gen_tile_stats(
     Columns: n_points (T9 per-tile point count), n_ground_points,
     a2_filled_cells (distinct ``out_px``-grid cells holding >=1 ground
     point — the exact A2 ground-max plane fill count, Delaunay-free),
-    w/h/total_cells (the tie-independent raster frame invariants).
+    w/h/total_cells (the tie-independent raster frame invariants),
+    sum_area_x100 (S10: closed-form convex-hull area x100 — EVERY
+    triangulation of the point set tiles its convex hull, so the
+    engine's Delaunay triangle-area sum must equal it bit-for-bit
+    regardless of co-circular/collinear tie breaks; computed here by
+    monotone-chain hull + shoelace, fully Delaunay-free).
     """
     rows = []
     for name in names:
@@ -418,9 +433,53 @@ def gen_tile_stats(
                 "n_ground_points": np.int32(ground.sum()),
                 "a2_filled_cells": np.int32(a2),
                 "total_cells": np.int32(out_px * out_px),
+                "sum_area_x100": np.int64(hull_area_x100(x, y, minx, miny)),
             }
         )
     return pd.DataFrame(rows)
+
+
+def hull_area_x100(x, y, minx: float, miny: float) -> int:
+    """Convex-hull area of a point set, x100, as an exact integer.
+
+    Coordinates are origin-shifted so every float64 op is EXACT on the
+    dyadic cell-center grid (offsets < 1000 with 2^-7-granular
+    fractions: differences, 34-bit cross products, and their sums all
+    fit the 53-bit mantissa), which makes this bit-comparable to a
+    Delaunay triangle-area sum computed with the same difference-based
+    shoelace — the two derivations (monotone chain here, sweep-hull
+    Delaunay in gridlib) share no code."""
+    import math
+
+    if len(x) < 3:
+        return 0
+    pts = sorted(set(zip((x - minx).tolist(), (y - miny).tolist())))
+    if len(pts) < 3:
+        return 0
+
+    def _chain(points):
+        h: list[tuple[float, float]] = []
+        for p in points:
+            while (
+                len(h) >= 2
+                and (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+                <= 0
+            ):
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = _chain(pts)
+    upper = _chain(pts[::-1])
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:
+        return 0
+    x0, y0 = hull[0]
+    a2 = 0.0
+    for (ax, ay), (bx, by) in zip(hull[1:-1], hull[2:]):
+        a2 += (ax - x0) * (by - y0) - (ay - y0) * (bx - x0)
+    return int(math.floor(abs(a2) / 2.0 * 100.0 + 0.5))
 
 
 def gen_pip_tile_stats(
@@ -509,20 +568,22 @@ def ensure_images_table(
 
     n = n_tiles if n_tiles else SF_TILES.get(sf, max(9, int(2560 * sf)))
     out = os.path.join(base_dir, f"images_n{n}")  # content-addressed by count
-    # v6: adds the pip_class_extents raster->vector oracle side table;
+    # v7: adds sum_area_x100 (S10 hull-area oracle) to tile_stats;
+    # v6 added the pip_class_extents raster->vector oracle side table;
     # v5 added the GIF videos table + per-frame oracle stats; v4 added
     # the tile_stats/pip_tile_stats expected-metric side tables (oracle
     # fixtures only); v3 added envelope columns on the feature tables +
     # tile-anchor columns on images (pushdown pruning); v2 added the
-    # multimodal oracle side tables.  v3/v4 caches upgrade in place
+    # multimodal oracle side tables.  v3+ caches upgrade in place
     # (side tables only); older caches regenerate in full (idempotent).
-    marker = os.path.join(out, "_SUCCESS_v6")
+    marker = os.path.join(out, "_SUCCESS_v7")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
     names = tile_names(n)
     if any(
-        os.path.exists(os.path.join(out, f"_SUCCESS_v{v}")) for v in (3, 4, 5)
+        os.path.exists(os.path.join(out, f"_SUCCESS_v{v}"))
+        for v in (3, 4, 5, 6)
     ):
         # incremental upgrade: tables are deterministic functions of the
         # tile list, so only the missing side tables need writing
@@ -596,6 +657,11 @@ def _write_stats_tables(out: str, names: list[str], n: int) -> None:
             os.path.join(out, fname),
         )
 
+    # v7 in-place upgrade: rewrite tile_stats if it predates sum_area_x100
+    ts_path = os.path.join(out, "tile_stats.parquet")
+    if os.path.exists(ts_path):
+        if "sum_area_x100" not in pq.ParquetFile(ts_path).schema_arrow.names:
+            os.remove(ts_path)
     _put("tile_stats.parquet", gen_tile_stats(names))
     if not os.path.exists(os.path.join(out, "pip_class_extents.parquet")):
         pdf, ldf, _ = gen_features(

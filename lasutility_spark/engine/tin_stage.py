@@ -51,70 +51,90 @@ def _tile_kernel_factory(px: int, size_north: int, ground_max_first: bool):
     """
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        cell = int(key[0])
-        minx, miny, maxx, maxy = (
-            int(v) for v in np.array(cell_id_envelope(np.array([cell]), size_north)).ravel()
-        )
-        bounds = RasterBounds(px, px, minx, miny, maxx, maxy)
-        x = pdf["x"].to_numpy()
-        y = pdf["y"].to_numpy()
-        z = pdf["z"].to_numpy()
-        cls = pdf["cls"].to_numpy().astype(np.uint8)
-
-        ground = cls == topodb.CLS_GROUND
-        dem = np.full((px, px), np.nan, dtype=np.float32)
-        tin_pts = ground if ground_max_first else slice(None)
-
-        a2_filled = 0 if ground_max_first else -1
-        if ground_max_first and ground.any():
-            # A2: per-cell max(z) of ground points (VoxelGrid.cs:100-107)
-            row, col = bounds.proj_to_cell(x[ground], y[ground])
-            ok = (row >= 0) & (col >= 0)
-            flat = row[ok].astype(np.int64) * px + col[ok].astype(np.int64)
-            acc = np.full(px * px, -np.inf, dtype=np.float64)
-            np.maximum.at(acc, flat, z[ground][ok])
-            filled = acc > -np.inf
-            a2_filled = int(filled.sum())
-            dem.ravel()[filled] = acc[filled].astype(np.float32)
-
-        n_tri = 0
-        xs = x[tin_pts]
-        if len(xs) >= 3:
-            tin = Tin(x[tin_pts], y[tin_pts], z[tin_pts], cls[tin_pts])
-            n_tri = tin.triangle_count
-            if ground_max_first:
-                locked = ~np.isnan(dem)  # keep A2 values, fill NaN only (A8)
-                tin.rasterize_dem(bounds, dem=dem, locked=locked)
-            else:
-                tin.rasterize_dem(bounds, dem=dem)
-
-        name = str(cell_id_to_name(np.array([cell]), size_north)[0])
-        caption = datagen.CAPTION_FMT.format(
-            name=name, minx=minx, miny=miny, maxx=maxx, maxy=maxy,
-            cellsize=(maxx - minx) / px, nodata=-9999,
-        )
-        filled_cells = int((~np.isnan(dem)).sum())
-        return pd.DataFrame(
-            [
-                {
-                    "cell_id": cell,
-                    "image_id": name,
-                    "bytes": dem_to_png16(dem, datagen.Z_MIN, datagen.Z_MAX),
-                    "w": px,
-                    "h": px,
-                    "fmt": "png16",
-                    "caption": caption,
-                    "phash": phash64(np.nan_to_num(dem)),
-                    "n_points": len(pdf),
-                    "n_triangles": n_tri,
-                    "filled_cells": filled_cells,
-                    "missing_cells": px * px - filled_cells,
-                    "a2_filled_cells": a2_filled,
-                }
-            ]
+        return _tile_row(
+            int(key[0]),
+            pdf["x"].to_numpy(),
+            pdf["y"].to_numpy(),
+            pdf["z"].to_numpy(),
+            pdf["cls"].to_numpy().astype(np.uint8),
+            px,
+            size_north,
+            ground_max_first,
         )
 
     return kernel
+
+
+def _tile_row(
+    cell: int,
+    x: np.ndarray,
+    y: np.ndarray,
+    z: np.ndarray,
+    cls: np.ndarray,
+    px: int,
+    size_north: int,
+    ground_max_first: bool,
+) -> pd.DataFrame:
+    """One tile's point arrays -> its DEM tile row (shared by the row
+    and packed shuffle kernels; point order does not matter — Delaunay
+    canonicalizes via sorted dedup)."""
+    minx, miny, maxx, maxy = (
+        int(v) for v in np.array(cell_id_envelope(np.array([cell]), size_north)).ravel()
+    )
+    bounds = RasterBounds(px, px, minx, miny, maxx, maxy)
+
+    ground = cls == topodb.CLS_GROUND
+    dem = np.full((px, px), np.nan, dtype=np.float32)
+    tin_pts = ground if ground_max_first else slice(None)
+
+    a2_filled = 0 if ground_max_first else -1
+    if ground_max_first and ground.any():
+        # A2: per-cell max(z) of ground points (VoxelGrid.cs:100-107)
+        row, col = bounds.proj_to_cell(x[ground], y[ground])
+        ok = (row >= 0) & (col >= 0)
+        flat = row[ok].astype(np.int64) * px + col[ok].astype(np.int64)
+        acc = np.full(px * px, -np.inf, dtype=np.float64)
+        np.maximum.at(acc, flat, z[ground][ok])
+        filled = acc > -np.inf
+        a2_filled = int(filled.sum())
+        dem.ravel()[filled] = acc[filled].astype(np.float32)
+
+    n_tri = 0
+    xs = x[tin_pts]
+    if len(xs) >= 3:
+        tin = Tin(x[tin_pts], y[tin_pts], z[tin_pts], cls[tin_pts])
+        n_tri = tin.triangle_count
+        if ground_max_first:
+            locked = ~np.isnan(dem)  # keep A2 values, fill NaN only (A8)
+            tin.rasterize_dem(bounds, dem=dem, locked=locked)
+        else:
+            tin.rasterize_dem(bounds, dem=dem)
+
+    name = str(cell_id_to_name(np.array([cell]), size_north)[0])
+    caption = datagen.CAPTION_FMT.format(
+        name=name, minx=minx, miny=miny, maxx=maxx, maxy=maxy,
+        cellsize=(maxx - minx) / px, nodata=-9999,
+    )
+    filled_cells = int((~np.isnan(dem)).sum())
+    return pd.DataFrame(
+        [
+            {
+                "cell_id": cell,
+                "image_id": name,
+                "bytes": dem_to_png16(dem, datagen.Z_MIN, datagen.Z_MAX),
+                "w": px,
+                "h": px,
+                "fmt": "png16",
+                "caption": caption,
+                "phash": phash64(np.nan_to_num(dem)),
+                "n_points": len(x),
+                "n_triangles": n_tri,
+                "filled_cells": filled_cells,
+                "missing_cells": px * px - filled_cells,
+                "a2_filled_cells": a2_filled,
+            }
+        ]
+    )
 
 
 def rasterize_tin_tiles(
@@ -130,6 +150,69 @@ def rasterize_tin_tiles(
     points = repartition_by_cell(points, num_partitions)
     kernel = _tile_kernel_factory(px, size_north, ground_max_first)
     return points.groupBy("cell_id").applyInPandas(kernel, TILE_SCHEMA)
+
+
+def rasterize_tin_tiles_packed(
+    packed: DataFrame,
+    px: int = 128,
+    size_north: int = 1000,
+    ground_max_first: bool = False,
+) -> DataFrame:
+    """Packed-shuffle twin of :func:`rasterize_tin_tiles`: input is the
+    ``engine.points.decode_points_packed`` table (one row per source
+    image with uint8 row/col offsets + uint16 png quantiles), so the
+    groupBy exchange moves ~4.4 bytes/point instead of a ~48-byte
+    UnsafeRow/point.  The kernel reconstructs x/y/z/cls bit-exactly
+    (dyadic cellsize, replayed ``png16_to_dem`` arithmetic,
+    deterministic ``datagen.assign_classes``) and produces rows
+    byte-identical to the row-shuffle path — pinned in
+    tests/test_engine_spark.py."""
+    from ..gridlib.png import png_decode  # noqa: F401  (doc anchor)
+
+    z_min, z_max = datagen.Z_MIN, datagen.Z_MAX
+    scale = (z_max - z_min) / 65534.0
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(key[0])
+        minx, miny, maxx, maxy = (
+            int(v)
+            for v in np.array(
+                cell_id_envelope(np.array([cell]), size_north)
+            ).ravel()
+        )
+        xs, ys, zs, cs_ = [], [], [], []
+        for px_img, rc, qz in zip(pdf["px"], pdf["rc"], pdf["qz"]):
+            n = len(rc) // 2
+            rr = np.frombuffer(rc, np.uint8, count=n)
+            cc = np.frombuffer(rc, np.uint8, count=n, offset=n)
+            q = np.frombuffer(qz, "<u2")
+            cs = (maxx - minx) / int(px_img)
+            # identical float ops to datagen.sample_points_from_tile:
+            # int + (int64 + 0.5) * float64, elementwise
+            x = minx + (cc.astype(np.int64) + 0.5) * cs
+            y = miny + (rr.astype(np.int64) + 0.5) * cs
+            # replay png16_to_dem per value: f64 -> f32 -> f64 round trip
+            demv = ((q.astype(np.float64) - 1.0) * scale + z_min)
+            demv[q == 0] = np.nan
+            z = demv.astype(np.float32).astype(np.float64)
+            z, cls = datagen.assign_classes(x, y, z)
+            xs.append(x)
+            ys.append(y)
+            zs.append(z)
+            cs_.append(cls)
+        if xs:
+            x, y, z, cls = (
+                np.concatenate(xs),
+                np.concatenate(ys),
+                np.concatenate(zs),
+                np.concatenate(cs_),
+            )
+        else:  # pragma: no cover — groupBy never yields empty groups
+            x = y = z = np.empty(0)
+            cls = np.empty(0, np.uint8)
+        return _tile_row(cell, x, y, z, cls, px, size_north, ground_max_first)
+
+    return packed.groupBy("cell_id").applyInPandas(kernel, TILE_SCHEMA)
 
 
 def rasterize_images_fused(images: DataFrame, px: int = 128,

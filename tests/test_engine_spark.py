@@ -355,3 +355,47 @@ def test_scanlocal_q1_matches_fused(spark, images_dir):
         assert not set(got) & set(parts)
         parts.update(got)
     assert parts == a
+
+
+def test_packed_shuffle_matches_row_shuffle(spark, images_dir):
+    """q1b packed shuffle (uint8 offsets + uint16 png quantiles through
+    the exchange) is byte-identical to the row shuffle — both pipelines
+    A and B, at any partition count — and moves >=2x fewer payload bytes
+    per point."""
+    from pyspark.sql import functions as F
+
+    images = pts.read_images(spark, images_dir)
+
+    def rows(df):
+        return {
+            r["image_id"]: (
+                bytes(r["bytes"]), r["n_points"], r["n_triangles"],
+                r["phash"], r["filled_cells"], r["a2_filled_cells"],
+            )
+            for r in df.collect()
+        }
+
+    packed = pts.decode_points_packed(images)
+    a = rows(tin_stage.rasterize_tin_tiles(
+        pts.decode_points(images), px=32, num_partitions=4))
+    b = rows(tin_stage.rasterize_tin_tiles_packed(packed, px=32))
+    assert a == b and len(a) == 9
+    c = rows(tin_stage.rasterize_tin_tiles_packed(packed.repartition(7), px=32))
+    assert a == c
+    # pipeline B (A2 ground-max plane + TIN backfill) parity
+    d = rows(tin_stage.rasterize_tin_tiles(
+        pts.decode_points(images), px=32, num_partitions=3,
+        ground_max_first=True))
+    e = rows(tin_stage.rasterize_tin_tiles_packed(
+        packed, px=32, ground_max_first=True))
+    assert d == e
+
+    # shuffle payload: raw row bytes (x,y,z doubles + cls) vs packed
+    # blobs (+12 B/row key+px overhead) — the >=2x VERDICT criterion,
+    # conservatively ignoring the extra per-row UnsafeRow padding the
+    # row path also pays
+    n_points = pts.decode_points(images).count()
+    packed_bytes = packed.select(
+        (F.sum(F.length("rc") + F.length("qz")) + F.count("*") * 12).alias("b")
+    ).collect()[0]["b"]
+    assert packed_bytes * 2 <= n_points * 25
