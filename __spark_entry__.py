@@ -362,6 +362,9 @@ _RELATIONAL: dict[str, tuple[Callable[[str], str], list[str]]] = {
     "sim_ivf_assign": (similarity.ivf_assign_sql, ["embeddings"]),
     "sim_ivf_topk": (similarity.ivf_topk_sql, ["embeddings"]),
     "sim_ivf_topk2": (similarity.ivf_topk2_sql, ["embeddings"]),
+    "sim_ivf_learn": (similarity.ivf_learn_sql, ["embeddings"]),
+    "sim_ivf_assign_learned": (similarity.ivf_assign_learned_sql, ["embeddings"]),
+    "sim_ivf_topk_learned": (similarity.ivf_topk_learned_sql, ["embeddings"]),
     "evt_hourly": (_events_sql, ["events"]),
     "evt_sessions": (events.sessions_sql, ["events"]),
 }

@@ -455,12 +455,14 @@ def rasterize_tin_tiles_skew(
         )
         dem = np.full((px, px), np.nan, dtype=np.float32)
         n_pts = n_tri = 0
-        for _, r in pdf.iterrows():
-            sub = np.frombuffer(r["dem"], dtype=np.float32).reshape(sub_px, sub_px)
-            r0, c0 = int(r["qr"]) * sub_px, int(r["qc"]) * sub_px
+        for buf, qr, qc, npts, ntri in zip(
+            pdf["dem"], pdf["qr"], pdf["qc"], pdf["n_points"], pdf["n_triangles"]
+        ):
+            sub = np.frombuffer(buf, dtype=np.float32).reshape(sub_px, sub_px)
+            r0, c0 = int(qr) * sub_px, int(qc) * sub_px
             dem[r0 : r0 + sub_px, c0 : c0 + sub_px] = sub
-            n_pts += int(r["n_points"])
-            n_tri += int(r["n_triangles"])
+            n_pts += int(npts)
+            n_tri += int(ntri)
         name = str(cell_id_to_name(np.array([cell]), size_north)[0])
         caption = datagen.CAPTION_FMT.format(
             name=name, minx=minx, miny=miny, maxx=maxx, maxy=maxy,

@@ -282,6 +282,138 @@ def ivf_probe2_sql(dialect: str) -> str:
     """
 
 
+def _explode_dims(dialect: str, from_clause: str) -> str:
+    """Dialect-specific dim explosion: append a 1..DIM generator named
+    ``r(i)`` to a FROM clause."""
+    if dialect == "spark":
+        return f"{from_clause} LATERAL VIEW explode(sequence(1, {DIM})) r AS i"
+    return f"{from_clause}, range(1, {DIM} + 1) r(i)"
+
+
+def _qval(dialect: str, a: str) -> str:
+    """Quantized (x100) int value of dimension ``i`` of embedding ``a``."""
+    if dialect == "spark":
+        return (
+            f"CAST(FLOOR(CAST(element_at({a}, i) AS DOUBLE) * 100.0) AS BIGINT)"
+        )
+    return f"CAST(FLOOR(CAST({a}[i] AS DOUBLE) * 100.0) AS BIGINT)"
+
+
+def ivf_learn_sql(dialect: str) -> str:
+    """One Lloyd iteration from the fixed-centroid seed assignment: the
+    learned centroid is the per-dimension integer-floored mean of the
+    quantized (x100) embeddings in each seed list — exactly the k-means
+    update step real IVF builds run, made integer-exact so Spark and
+    DuckDB replay it bit-for-bit.
+
+    FLOOR(SUM::DOUBLE / COUNT) is deterministic here: SUM and COUNT are
+    exact integers far below 2^53, so the quotient is either exactly
+    representable (integral case) or at least 1/COUNT away from the
+    nearest integer — double rounding (~1e-16 relative) cannot cross it.
+
+    Learned centroids live at the x100 quantization scale (unlike the
+    unit-scale seed centroids), so distance keys downstream need no S
+    rescale: |vq - c|^2 = |vq|^2 - 2*dot(vq, c) + |c|^2.
+
+    At 10^12 scale this is one groupBy over (centroid, dim) — a
+    512-row aggregate with map-side partials; the learned table is a
+    broadcast dimension for the re-assignment pass."""
+    assign = ivf_assign_sql(dialect)
+    frm = _explode_dims(
+        dialect, "FROM a JOIN embeddings e ON e.vec_id = a.vec_id"
+    )
+    return f"""
+    WITH a AS ({assign}),
+    dims AS (
+      SELECT a.centroid, CAST(i AS BIGINT) AS i,
+             {_qval(dialect, 'e.embedding')} AS qval
+      {frm}
+    )
+    SELECT centroid, i,
+           CAST(FLOOR(CAST(SUM(qval) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+    FROM dims
+    GROUP BY centroid, i
+    """
+
+
+def ivf_assign_learned_sql(dialect: str) -> str:
+    """IVF coarse quantizer over the LEARNED (one-Lloyd-step) centroids:
+    each vector -> its nearest learned centroid by exact integer squared
+    distance |vq - c|^2, ties to the smallest centroid id.
+
+    The learned centroids are not compile-time literals, so the dot
+    products run as a relational join on the exploded dimension index —
+    the centroid side is ~K*DIM rows (a broadcast dimension; AQE picks
+    the broadcast plan), the vector side streams.  A seed list left
+    empty by the Lloyd step simply drops out of the argmin in both
+    dialects (standard k-means dead-centroid behavior)."""
+    learn = ivf_learn_sql(dialect)
+    frm = _explode_dims(dialect, "FROM embeddings e")
+    return f"""
+    WITH cent AS ({learn}),
+    cnorm AS (
+      SELECT centroid, CAST(SUM(cval * cval) AS BIGINT) AS cn2
+      FROM cent GROUP BY centroid
+    ),
+    vdims AS (
+      SELECT e.vec_id, CAST(i AS BIGINT) AS i,
+             {_qval(dialect, 'e.embedding')} AS qval
+      {frm}
+    ),
+    vnorm AS (
+      SELECT vec_id, CAST(SUM(qval * qval) AS BIGINT) AS vn2
+      FROM vdims GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT v.vec_id, c.centroid, CAST(SUM(v.qval * c.cval) AS BIGINT) AS dot
+      FROM vdims v JOIN cent c ON c.i = v.i
+      GROUP BY v.vec_id, c.centroid
+    ),
+    keyed AS (
+      SELECT d.vec_id, d.centroid,
+             vn.vn2 - 2 * d.dot + cn.cn2 AS dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.vec_id
+               ORDER BY vn.vn2 - 2 * d.dot + cn.cn2, d.centroid
+             ) AS rn
+      FROM dots d
+      JOIN cnorm cn ON cn.centroid = d.centroid
+      JOIN vnorm vn ON vn.vec_id = d.vec_id
+    )
+    SELECT e.vec_id, e.label, k.centroid
+    FROM keyed k JOIN embeddings e ON e.vec_id = k.vec_id
+    WHERE k.rn = 1
+    """
+
+
+def ivf_topk_learned_sql(dialect: str, n_queries: int = 10, k: int = 5) -> str:
+    """IVF ANN top-k (nprobe=1) over the learned-centroid lists: same
+    within-list exact integer-dot re-rank as :func:`ivf_topk_sql`, but
+    the inverted lists come from the one-Lloyd-step assignment — the
+    shape of a production IVF index (trained quantizer, bucketed
+    candidate join, exact re-rank bounded to the probed list)."""
+    assign = ivf_assign_learned_sql(dialect)
+    dot = _qdot(dialect, "q.embedding", "c.embedding")
+    return f"""
+    WITH la AS ({assign})
+    SELECT query_id, neighbor_id, centroid, dot, rnk
+    FROM (
+      SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+             qa.centroid AS centroid, {dot} AS dot,
+             ROW_NUMBER() OVER (
+               PARTITION BY qa.vec_id
+               ORDER BY {dot} DESC, ca.vec_id
+             ) AS rnk
+      FROM la qa
+      JOIN la ca ON ca.centroid = qa.centroid AND ca.vec_id <> qa.vec_id
+      JOIN embeddings q ON q.vec_id = qa.vec_id
+      JOIN embeddings c ON c.vec_id = ca.vec_id
+      WHERE qa.vec_id < {n_queries}
+    ) t
+    WHERE rnk <= {k}
+    """
+
+
 def ivf_topk2_sql(dialect: str, n_queries: int = 10, k: int = 5) -> str:
     """IVF ANN top-k with nprobe=2: candidates come from the query's TWO
     nearest inverted lists (assignment lists of other vectors), exact
