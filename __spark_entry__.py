@@ -353,8 +353,7 @@ _RELATIONAL: dict[str, tuple[Callable[[str], str], list[str]]] = {
     "txt_token_hist": (text.token_hist_sql, ["documents"]),
     "txt_bpe_tokens": (text.bpe_tokens_sql, ["documents"]),
     "dd_exact": (dedup.exact_dedup_sql, ["documents"]),
-    "dd_simhash": (dedup.simhash_sql, ["documents"]),
-    "sim_ann_topk": (similarity.ann_topk_sql, ["embeddings"]),
+    "dd_simhash": (dedup.simhash_sql, ["documents"]),    "sim_ann_topk": (similarity.ann_topk_sql, ["embeddings"]),
     "sim_lsh_buckets": (similarity.lsh_buckets_sql, ["embeddings"]),
     "sim_lsh_pairs": (similarity.lsh_candidate_pairs_sql, ["embeddings"]),
     "sim_near_dup": (similarity.near_dup_pairs_sql, ["embeddings"]),

@@ -85,6 +85,83 @@ def ann_topk_sql(dialect: str, n_queries: int = 10, k: int = 5) -> str:
     """
 
 
+def ann_topk_spark(spark, n_queries: int = 10, k: int = 5):
+    """Brute-force top-k, scale path: one Arrow-batched int64 matmul
+    per partition against the broadcast query matrix, per-batch local
+    top-k, then a tiny global re-rank — identical arithmetic and
+    tie-breaks (dot DESC, vec_id ASC) to :func:`ann_topk_sql`, pinned
+    by a parity test.
+
+    Scale shape: the query matrix is a closure broadcast (n_queries x
+    DIM ints), the candidate scan is embarrassingly parallel with no
+    join, and only ``n_queries * k`` rows per batch survive to the
+    final exchange — the global top-k is a subset of every batch's
+    local top-k, so the union is lossless.  This is the canonical
+    brute-force ANN plan for a 10^9-vector corpus; the LSH/IVF paths
+    bound candidates when even one full scan is too much.
+
+    Validity envelope (measured): at the sandbox fixture size (2k
+    vectors) the SQL form wins on fixed cost (no query-collect job, no
+    Python workers), so ``queries()`` keeps it; the matmul path's
+    per-vector cost is ~100x lower (numpy BLAS vs an interpreted
+    Catalyst HOF lambda), which dominates from ~10^5 vectors up."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = spark.table("embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    # CAST(float AS DOUBLE) is exact widening; *100.0 and FLOOR in float64
+    # replay the SQL expression bit-for-bit
+    qmat = np.floor(
+        np.array([r["embedding"] for r in qrows], dtype=np.float64) * 100.0
+    ).astype(np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            cand = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 100.0
+            ).astype(np.int64)
+            cid = pdf["vec_id"].to_numpy(np.int64)
+            dots = cand @ qmat.T  # batch x n_queries, exact int64
+            out = []
+            for j in range(len(qids)):
+                mask = cid != qids[j]
+                d, ids = dots[mask, j], cid[mask]
+                if not len(ids):
+                    continue
+                order = np.lexsort((ids, -d))[: min(k, len(ids))]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(order), qids[j]),
+                            "neighbor_id": ids[order],
+                            "dot": d[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        gen, "query_id long, neighbor_id long, dot long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "dot", "rnk")
+    )
+
+
 def lsh_buckets_sql(dialect: str) -> str:
     """Sign-bit LSH bucket id per vector (the scale path's partition key)."""
     bits = " + ".join(

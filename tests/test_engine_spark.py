@@ -399,3 +399,31 @@ def test_packed_shuffle_matches_row_shuffle(spark, images_dir):
         (F.sum(F.length("rc") + F.length("qz")) + F.count("*") * 12).alias("b")
     ).collect()[0]["b"]
     assert packed_bytes * 2 <= n_points * 25
+
+
+def test_ann_topk_matmul_matches_sql(spark):
+    """Scale-path brute-force ANN (Arrow matmul + per-batch local top-k)
+    is row-identical to the SQL form that queries() ships — same
+    quantization, exact int64 dots, same (dot DESC, vec_id ASC) ties."""
+    from lasutility_spark.pipelines import similarity
+
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    want = {
+        tuple(r) for r in spark.sql(similarity.ann_topk_sql("spark"))
+        .select("query_id", "neighbor_id", "dot", "rnk").collect()
+    }
+    got = {
+        tuple(r) for r in similarity.ann_topk_spark(spark)
+        .select("query_id", "neighbor_id", "dot", "rnk").collect()
+    }
+    assert got == want and len(got) == 50
+    # partition-count independence: local top-k union is lossless
+    emb = spark.table("embeddings").repartition(13)
+    emb.createOrReplaceTempView("embeddings")
+    got13 = {
+        tuple(r) for r in similarity.ann_topk_spark(spark)
+        .select("query_id", "neighbor_id", "dot", "rnk").collect()
+    }
+    assert got13 == want
