@@ -143,6 +143,22 @@ def run_once() -> dict:
             t1 = time.time()
             timings[key] = min(timings[key], t1 - t0)
             windows[key].append([t0, t1])
+            # host-noise guard (standalone runs only — shard mode must
+            # keep every process in barrier lockstep with identical
+            # attempt counts): when the two attempts disagree by >30%,
+            # a neighbor-VM burst hit one of them; up to two more
+            # attempts recover the steady-state min at a bounded cost
+            if not shard:
+                spread = max(windows[key][0][1] - windows[key][0][0], t1 - t0)
+                tries = 0
+                while spread > 1.3 * timings[key] and tries < 2:
+                    t0 = time.time()
+                    action(thunk())
+                    t1 = time.time()
+                    spread = t1 - t0
+                    timings[key] = min(timings[key], t1 - t0)
+                    windows[key].append([t0, t1])
+                    tries += 1
         return n
 
     # --- q1: TIN rasterization (tiles/sec headline) ----------------------
