@@ -242,6 +242,41 @@ def _oracle_resize_stats(dialect: str) -> str:
     )
 
 
+def _audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m4: REAL audio feature extraction — PCM16 WAV media column decoded
+    through the gridlib RIFF/WAVE codec; oracle = clip stats computed
+    from the source samples BEFORE container encoding."""
+    images_dir = datagen.ensure_images_table(_FIXTURE_SF)
+    audio = spark.read.parquet(f"{images_dir}/audio.parquet")
+    return multimodal.audio_decode_stats(audio)
+
+
+def _audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m5: decode -> integer block-mean decimate -> WAV re-encode ->
+    decode -> stats; oracle = stats of the directly-decimated source
+    samples (proves the full resample + container round trip)."""
+    images_dir = datagen.ensure_images_table(_FIXTURE_SF)
+    audio = spark.read.parquet(f"{images_dir}/audio.parquet")
+    resampled = multimodal.audio_resample(audio, datagen.AUDIO_DECIMATE)
+    return multimodal.audio_decode_stats(resampled)
+
+
+def _oracle_audio_stats(dialect: str) -> str:
+    d = datagen.ensure_images_table(_FIXTURE_SF)
+    return (
+        "SELECT media_id, n_samples, sample_rate, peak, sumsq, zero_crossings "
+        f"FROM read_parquet('{d}/audio_stats.parquet')"
+    )
+
+
+def _oracle_audio_resample_stats(dialect: str) -> str:
+    d = datagen.ensure_images_table(_FIXTURE_SF)
+    return (
+        "SELECT media_id, n_samples, sample_rate, peak, sumsq, zero_crossings "
+        f"FROM read_parquet('{d}/audio_resample_stats.parquet')"
+    )
+
+
 def _oracle_frames(dialect: str) -> str:
     """m3 oracle: per-frame stats from the generation-time source planes
     (independent of the GIF decode path), sampled every 2nd frame."""
@@ -503,6 +538,8 @@ _KERNEL_WITH_ORACLE.update(
         "m1_image_stats": (_image_stats, _oracle_image_stats, []),
         "m2_image_resize": (_image_resize, _oracle_resize_stats, []),
         "m3_frame_sample": (_frame_sample, _oracle_frames, []),
+        "m4_audio_stats": (_audio_stats, _oracle_audio_stats, []),
+        "m5_audio_resample": (_audio_resample, _oracle_audio_resample_stats, []),
         "t9_tin_rasterize": (_tin_rasterize, _oracle_tile_stats, []),
         "t9_tin_rasterize_skew": (_tin_rasterize_skew, _oracle_tile_stats, []),
         "b_voxel_tin_backfill": (_tin_rasterize_voxel, _oracle_voxel_stats, []),

@@ -382,6 +382,65 @@ def gen_video_tables(
     return pd.DataFrame(vids), pd.DataFrame(stats)
 
 
+# audio fixture: per tile, a real PCM16 WAV clip whose samples derive
+# deterministically from the tile's DEM plane --------------------------
+
+AUDIO_RATE = 16000
+AUDIO_DECIMATE = 4
+
+
+def audio_clip_samples(name: str, px: int = 128) -> np.ndarray:
+    """Deterministic int16 sample stream for a tile's synthetic clip:
+    the 16-bit DEM plane flattened row-major and AC-coupled — the
+    integer clip mean removed, then halved (floor) to bound the range
+    at +/-32767 (px*px samples ~ 1 s at 16 kHz).  Every clip distinct,
+    integer-exact, and sign-oscillating wherever the terrain crosses
+    its own mean (guaranteed for any non-constant plane)."""
+    c = quantize_dem(tile_dem(name, px), Z_MIN, Z_MAX).astype(np.int64).ravel()
+    return ((c - c.sum() // c.size) // 2).astype(np.int16)
+
+
+def gen_audio_tables(
+    names: list[str], rate: int = AUDIO_RATE, factor: int = AUDIO_DECIMATE
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """(audio, audio_stats, audio_resample_stats): real WAV media rows
+    plus expected clip statistics computed from the SOURCE samples
+    before container encoding — the engine must reproduce them through
+    a full RIFF/WAVE decode (and, for the resample table, an integer
+    block-mean decimation and a re-encode round trip), so the oracles
+    are independent of the codec path (the m3 pattern)."""
+    from .gridlib.wav import audio_stats, decimate_mean, wav_encode
+
+    clips, stats, rstats = [], [], []
+    for name in names:
+        s = audio_clip_samples(name)
+        clips.append(
+            {
+                "media_id": name,
+                "bytes": wav_encode(s, rate),
+                "n_samples": np.int32(s.size),
+                "sample_rate": np.int32(rate),
+                "fmt": "wav",
+            }
+        )
+        for sink, arr, r in (
+            (stats, s, rate),
+            (rstats, decimate_mean(s, factor), rate // factor),
+        ):
+            st = audio_stats(arr)
+            sink.append(
+                {
+                    "media_id": name,
+                    "n_samples": np.int32(st["n_samples"]),
+                    "sample_rate": np.int32(r),
+                    "peak": np.int32(st["peak"]),
+                    "sumsq": np.int64(st["sumsq"]),
+                    "zero_crossings": np.int32(st["zero_crossings"]),
+                }
+            )
+    return pd.DataFrame(clips), pd.DataFrame(stats), pd.DataFrame(rstats)
+
+
 def gen_tile_stats(
     names: list[str], px: int = 128, out_px: int = 64
 ) -> pd.DataFrame:
@@ -568,7 +627,8 @@ def ensure_images_table(
 
     n = n_tiles if n_tiles else SF_TILES.get(sf, max(9, int(2560 * sf)))
     out = os.path.join(base_dir, f"images_n{n}")  # content-addressed by count
-    # v7: adds sum_area_x100 (S10 hull-area oracle) to tile_stats;
+    # v8: adds the WAV audio table + clip/resample oracle stats;
+    # v7 added sum_area_x100 (S10 hull-area oracle) to tile_stats;
     # v6 added the pip_class_extents raster->vector oracle side table;
     # v5 added the GIF videos table + per-frame oracle stats; v4 added
     # the tile_stats/pip_tile_stats expected-metric side tables (oracle
@@ -576,14 +636,14 @@ def ensure_images_table(
     # tile-anchor columns on images (pushdown pruning); v2 added the
     # multimodal oracle side tables.  v3+ caches upgrade in place
     # (side tables only); older caches regenerate in full (idempotent).
-    marker = os.path.join(out, "_SUCCESS_v7")
+    marker = os.path.join(out, "_SUCCESS_v8")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
     names = tile_names(n)
     if any(
         os.path.exists(os.path.join(out, f"_SUCCESS_v{v}"))
-        for v in (3, 4, 5, 6)
+        for v in (3, 4, 5, 6, 7)
     ):
         # incremental upgrade: tables are deterministic functions of the
         # tile list, so only the missing side tables need writing
@@ -684,3 +744,17 @@ def _write_stats_tables(out: str, names: list[str], n: int) -> None:
         )
         _put("videos.parquet", vdf, vschema)
         _put("video_frames.parquet", vfdf)
+    if not os.path.exists(os.path.join(out, "audio.parquet")):
+        adf, asdf, ardf = gen_audio_tables(names)
+        aschema = pa.schema(
+            [
+                ("media_id", pa.string()),
+                ("bytes", pa.binary()),
+                ("n_samples", pa.int32()),
+                ("sample_rate", pa.int32()),
+                ("fmt", pa.string()),
+            ]
+        )
+        _put("audio.parquet", adf, aschema)
+        _put("audio_stats.parquet", asdf)
+        _put("audio_resample_stats.parquet", ardf)

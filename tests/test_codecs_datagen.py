@@ -249,3 +249,105 @@ def test_video_fixture_oracle_independence():
             assert int(fr.astype(np.int64).sum()) == row["px_sum"]
             assert int((fr != 0).sum()) == row["px_nonzero"]
             assert phash64(fr) == row["phash"]
+
+
+def test_wav_roundtrip_chunk_walk_and_errors():
+    """RIFF/WAVE codec: exact PCM16 round trip; the decoder must walk
+    chunk lists (unknown chunks skipped with odd-size pad alignment,
+    fmt/data in either order) and name the offending field on bad input."""
+    import struct
+
+    import pytest
+
+    from lasutility_spark.gridlib.wav import wav_decode, wav_encode
+
+    s = np.concatenate(
+        [
+            np.arange(-500, 500, dtype=np.int16),
+            np.array([-32768, 32767, 0, -1, 1], dtype=np.int16),
+        ]
+    )
+    buf = wav_encode(s, 8000)
+    dec, rate = wav_decode(buf)
+    assert rate == 8000 and dec.dtype == np.int16 and np.array_equal(dec, s)
+
+    # hand-build a spec-valid variant: LIST chunk with an ODD size (pad
+    # byte), then data BEFORE fmt — a conforming decoder must accept it
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = s.astype("<i2").tobytes()
+    body = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        + b"data" + struct.pack("<I", len(data)) + data
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    weird = b"RIFF" + struct.pack("<I", len(body)) + body
+    dec2, rate2 = wav_decode(weird)
+    assert rate2 == 8000 and np.array_equal(dec2, s)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"JUNK" + buf[4:])
+    with pytest.raises(ValueError, match="channels"):
+        stereo = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        bad = (
+            b"WAVE" + b"fmt " + struct.pack("<I", 16) + stereo
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        )
+        wav_decode(b"RIFF" + struct.pack("<I", len(bad)) + bad)
+    with pytest.raises(ValueError, match="16-bit"):
+        eight = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        bad = (
+            b"WAVE" + b"fmt " + struct.pack("<I", 16) + eight
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        )
+        wav_decode(b"RIFF" + struct.pack("<I", len(bad)) + bad)
+    with pytest.raises(ValueError, match="truncated|past end"):
+        wav_decode(buf[:-10])
+    with pytest.raises(ValueError, match="int16"):
+        wav_encode(s.astype(np.float64))
+
+
+def test_wav_decimate_and_stats_formulas():
+    """Integer block-mean decimation (numpy floor semantics, negatives
+    included) and the shared clip-stats formula on known vectors."""
+    from lasutility_spark.gridlib.wav import audio_stats, decimate_mean
+
+    s = np.array([-7, -7, -7, -7, 3, 3, 3, 4, 9], dtype=np.int16)
+    out = decimate_mean(s, 4)
+    # (-28)//4 = -7 ; 13//4 = 3 (floor); trailing remainder dropped
+    assert np.array_equal(out, np.array([-7, 3], dtype=np.int16))
+
+    st = audio_stats(np.array([1, -1, 2, 0, -3], dtype=np.int16))
+    # crossings: 1->-1, -1->2, 2->0 is not (0 counts as >=0), 0->-3
+    assert st == {
+        "n_samples": 5, "peak": 3, "sumsq": 1 + 1 + 4 + 0 + 9,
+        "zero_crossings": 3,
+    }
+    assert audio_stats(np.array([], dtype=np.int16))["peak"] == 0
+
+
+def test_datagen_audio_oracle_independent_of_codec():
+    """The audio side-table stats come from the SOURCE samples; decoding
+    the emitted WAV bytes must reproduce them exactly (m3 pattern)."""
+    from lasutility_spark import datagen
+    from lasutility_spark.gridlib.wav import audio_stats, decimate_mean, wav_decode
+
+    names = datagen.tile_names(2)
+    clips, stats, rstats = datagen.gen_audio_tables(names)
+    assert len(clips) == len(stats) == len(rstats) == 2
+    for i in range(2):
+        samples, rate = wav_decode(bytes(clips["bytes"][i]))
+        assert rate == datagen.AUDIO_RATE
+        got = audio_stats(samples)
+        row = stats.iloc[i]
+        assert got["n_samples"] == row["n_samples"] == 128 * 128
+        assert got["peak"] == row["peak"]
+        assert got["sumsq"] == row["sumsq"]
+        assert got["zero_crossings"] == row["zero_crossings"]
+        # clips must actually differ and actually oscillate
+        assert row["zero_crossings"] > 0
+        rrow = rstats.iloc[i]
+        rgot = audio_stats(decimate_mean(samples, datagen.AUDIO_DECIMATE))
+        assert rgot["sumsq"] == rrow["sumsq"]
+        assert rrow["sample_rate"] == datagen.AUDIO_RATE // datagen.AUDIO_DECIMATE
+    assert stats["sumsq"][0] != stats["sumsq"][1]
