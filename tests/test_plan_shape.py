@@ -100,3 +100,22 @@ def test_joined_classify_never_exchanges_images(spark, images_dir):
     join_at = plan.index("BroadcastHashJoin")
     img_branch = plan[join_at : plan.index("BroadcastExchange", join_at)]
     assert "Exchange hashpartitioning" not in img_branch, img_branch
+
+
+def test_ivf_learned_centroid_joins_are_broadcast(spark):
+    """The learned-centroid IVF re-assignment claims the ~K*DIM-row
+    centroid tables ride broadcast joins while only the O(N) vec_id
+    joins shuffle — assert that shape in the physical plan: no
+    shuffled-hash joins, at most one sort-merge join (the N x N
+    vec_id attach, which a billion-vector input cannot broadcast),
+    and the dim-index/cnorm joins broadcast."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["sim_ivf_assign_learned"](
+        spark, "/root/testdata/sf0.001"
+    )
+    df.count()  # let AQE finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffledHashJoin") == 0
+    assert plan.count("SortMergeJoin") <= 1
+    assert plan.count("BroadcastHashJoin") >= 3
