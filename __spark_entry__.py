@@ -418,6 +418,13 @@ def _ngram_jaccard_spark(spark, sf_dir):
     return dedup.ngram_jaccard_pairs_spark(spark)
 
 
+def _keep_one_spark(spark, sf_dir):
+    """Dedup keep-one: per near-dup component, the surviving doc (the
+    component's MIN doc_id) + group size — the cleaned-corpus manifest."""
+    _register(spark, sf_dir, ["documents"])
+    return dedup.keep_one_spark(spark)
+
+
 def _components_spark(spark, sf_dir):
     """Dedup clustering: connected components over the LSH pair graph —
     Spark side is the Pregel-shaped iterative min-label propagation
@@ -437,6 +444,7 @@ _KERNEL_WITH_ORACLE = {
     "dd_minhash_pairs": (_minhash_pairs_spark, dedup.minhash_pairs_sql, ["documents"]),
     "dd_ngram_jaccard": (_ngram_jaccard_spark, dedup.ngram_jaccard_pairs_sql, ["documents"]),
     "dd_components": (_components_spark, dedup.components_sql, ["documents"]),
+    "dd_keep_one": (_keep_one_spark, dedup.keep_one_sql, ["documents"]),
 }
 
 def _tin_rasterize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:

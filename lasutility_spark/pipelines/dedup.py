@@ -387,6 +387,37 @@ def components_spark(spark, max_iters: int = 32):
     return labels.selectExpr("doc_id", "CAST(comp AS BIGINT) AS comp")
 
 
+def keep_one_spark(spark):
+    """Corpus dedup endgame: collapse each near-dup component to its
+    surviving representative.  The component label is already the MIN
+    reachable doc_id, so the survivor IS the component id; the output
+    is the cleaned-corpus manifest — one row per kept document with its
+    group size and how many near-dups it absorbed.  At scale this is
+    one map-side-combinable groupBy over the component labels."""
+    from pyspark.sql import functions as F
+
+    return (
+        components_spark(spark)
+        .groupBy(F.col("comp").alias("kept_doc"))
+        .agg(
+            F.count("*").alias("group_size"),
+            (F.count("*") - F.lit(1)).alias("n_dropped"),
+        )
+    )
+
+
+def keep_one_sql(dialect: str) -> str:
+    """Oracle for :func:`keep_one_spark`: same collapse over the
+    RECURSIVE-CTE component labels."""
+    comp = components_sql(dialect)
+    return f"""
+    WITH c AS ({comp})
+    SELECT comp AS kept_doc, COUNT(*) AS group_size,
+           COUNT(*) - 1 AS n_dropped
+    FROM c GROUP BY comp
+    """
+
+
 def components_sql(dialect: str) -> str:
     """DuckDB oracle for :func:`components_spark`: transitive closure of
     the candidate-pair graph as a RECURSIVE CTE, component id = MIN
