@@ -466,7 +466,15 @@ def run_scaling() -> None:
         "q1": dict(per_cycle[best_q1_i]["tiles_per_sec"],
                    cycle=best_q1_i, measured_at=_time.time()),
         "q2": dict(per_cycle[best_q2_i]["pip_points_per_sec"],
-                   cycle=best_q2_i, measured_at=_time.time()),
+                   cycle=best_q2_i, measured_at=_time.time(),
+                   # every cycle of the run that produced this row, so a
+                   # later regeneration can still show the committed
+                   # row's full-run context (e.g. "all cycles cleared
+                   # the bar", not just the best one)
+                   run_cycles_eff_exec=[
+                       round(c["pip_points_per_sec"]["eff_exec"], 3)
+                       for c in per_cycle
+                   ]),
     }
     if ceiling is not None:
         # the same-window zero-Spark ceiling travels WITH the q2 row it
@@ -552,6 +560,12 @@ def run_scaling() -> None:
             "numerator is not inflated; the day's single-executor rates",
             "span the window swings recorded in scaling_watch.jsonl).",
         ]
+        rc = best["pip_points_per_sec"].get("run_cycles_eff_exec")
+        if rc:
+            lines += [
+                f"The committed row's run measured {len(rc)} full cycle(s); "
+                f"per-cycle executor quotients: {', '.join(f'{v:.2f}' for v in rc)}.",
+            ]
     else:
         lines += [
             "Reading the PIP row: the kernel-level speedups (see git log)",
