@@ -116,6 +116,11 @@ def ann_topk_spark(spark, n_queries: int = 10, k: int = 5):
         .select("vec_id", "embedding")
         .collect()
     )
+    if not qrows:  # no vectors under n_queries -> empty result, not a
+        # zero-width matmul inside the UDF
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, dot long, rnk int"
+        )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     # CAST(float AS DOUBLE) is exact widening; *100.0 and FLOOR in float64
     # replay the SQL expression bit-for-bit
