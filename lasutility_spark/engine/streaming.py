@@ -126,6 +126,43 @@ def tiles_stream(
     )
 
 
+def media_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 2,
+):
+    """Streaming media ingest: new audio files -> the SAME RIFF/WAVE
+    decode + clip-stats kernel as batch (m4), written incrementally —
+    the multimodal twin of :func:`tiles_stream`.  A training-data
+    pipeline ingests media continuously; the feature-extraction kernel
+    must not fork between the backfill (batch) and the live tail
+    (stream), so foreachBatch hands each micro-batch to the batch
+    operator and stream output == batch output row-for-row by
+    construction, with the stream checkpoint giving exactly-once stats
+    production across restarts."""
+    from ..pipelines import multimodal
+
+    static = spark.read.parquet(source_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        stats = multimodal.audio_decode_stats(batch_df)
+        stats.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def user_totals_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     RUNNING totals (event count + value sum) carried across micro-batches

@@ -391,3 +391,37 @@ def test_stateful_user_totals_stream(spark, tmp_path):
     )
     want = {r["user_id"]: (r["n"], r["s"]) for r in batch}
     assert got == want
+
+
+def test_media_stream_matches_batch(spark, tmp_path):
+    """Streaming audio ingest == batch m4 stats row-for-row (foreachBatch
+    reuses the batch WAV-decode kernel); second drain with the same
+    checkpoint is a no-op (exactly-once)."""
+    import shutil
+
+    from lasutility_spark import datagen
+    from lasutility_spark.engine import streaming
+    from lasutility_spark.pipelines import multimodal
+
+    images_dir = datagen.ensure_images_table(0.001)
+    src = str(tmp_path / "audio_in")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(images_dir, "audio.parquet"),
+        os.path.join(src, "part-0.parquet"),
+    )
+    out = str(tmp_path / "stats_out")
+    ckpt = str(tmp_path / "stats_ckpt")
+    q = streaming.media_stream(spark, src, out, ckpt)
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {
+        tuple(r)
+        for r in multimodal.audio_decode_stats(
+            spark.read.parquet(f"{images_dir}/audio.parquet")
+        ).collect()
+    }
+    assert got == want and len(got) == 9
+    q2 = streaming.media_stream(spark, src, out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == 9
