@@ -365,6 +365,19 @@ def _oracle_feature_covers(dialect: str) -> str:
 
 # --- the registry ----------------------------------------------------------
 
+# The driver's correctness harness checks the FIRST 50 entries of
+# ``queries()`` in insertion order (VERDICT r04).  The registry therefore
+# holds exactly <=50 queries (asserted below) and ``queries()`` emits the
+# kernel-path flagships FIRST, so the driver sheet covers every operator
+# family with zero truncation.  Six superseded variants were consolidated
+# away in round 5 (each fully subsumed by a green sibling running the same
+# code path, all green in CORRECTNESS_r04): x2_tile_envelope_arith (dup of
+# x2_tile_envelope), sim_ivf_assign / sim_ivf_topk (subsumed by the
+# learned / nprobe=2 siblings), sim_lsh_buckets (strict prefix of
+# sim_lsh_pairs), sim_ivf_learn (its centroid table feeds the two learned
+# queries), a7_neighborhood_max (subsumed by the cross-tile a7_halo).
+# The underlying SQL builders remain public API in pipelines/*.
+
 # name -> (sql_fn, tables) for the dual-dialect relational operators
 _RELATIONAL: dict[str, tuple[Callable[[str], str], list[str]]] = {
     "x3_cells": (geosql.cells_sql, ["lineitem"]),
@@ -374,13 +387,11 @@ _RELATIONAL: dict[str, tuple[Callable[[str], str], list[str]]] = {
     "a5_highest_in_class": (geosql.highest_in_class_sql, ["lineitem"]),
     "a6_heights_range": (geosql.heights_range_sql, ["lineitem"]),
     "s14_surface_model": (geosql.surface_model_sql, ["lineitem"]),
-    "a7_neighborhood_max": (geosql.neighborhood_max_sql, ["lineitem"]),
     "s4_extent": (geosql.extent_sql, ["lineitem"]),
     "v5_pip_literal": (geosql.pip_literal_sql, ["lineitem"]),
     "t5_knn_interp": (geosql.knn_interp_sql, ["lineitem"]),
     "v1_classmap_union": (geosql.classmap_union_sql, []),
     "v2_classmap_semijoin": (geosql.classmap_semijoin_sql, ["lineitem"]),
-    "x2_tile_envelope_arith": (geosql.tile_envelope_sql, ["lineitem"]),
     "txt_doc_stats": (text.doc_stats_sql, ["documents"]),
     "txt_lang_id": (text.lang_id_sql, ["documents"]),
     "txt_fingerprint": (text.fingerprint_sql, ["documents"]),
@@ -388,15 +399,12 @@ _RELATIONAL: dict[str, tuple[Callable[[str], str], list[str]]] = {
     "txt_token_hist": (text.token_hist_sql, ["documents"]),
     "txt_bpe_tokens": (text.bpe_tokens_sql, ["documents"]),
     "dd_exact": (dedup.exact_dedup_sql, ["documents"]),
-    "dd_simhash": (dedup.simhash_sql, ["documents"]),    "sim_ann_topk": (similarity.ann_topk_sql, ["embeddings"]),
-    "sim_lsh_buckets": (similarity.lsh_buckets_sql, ["embeddings"]),
+    "dd_simhash": (dedup.simhash_sql, ["documents"]),
+    "sim_ann_topk": (similarity.ann_topk_sql, ["embeddings"]),
     "sim_lsh_pairs": (similarity.lsh_candidate_pairs_sql, ["embeddings"]),
     "sim_near_dup": (similarity.near_dup_pairs_sql, ["embeddings"]),
     "sim_knn_label": (similarity.knn_label_sql, ["embeddings"]),
-    "sim_ivf_assign": (similarity.ivf_assign_sql, ["embeddings"]),
-    "sim_ivf_topk": (similarity.ivf_topk_sql, ["embeddings"]),
     "sim_ivf_topk2": (similarity.ivf_topk2_sql, ["embeddings"]),
-    "sim_ivf_learn": (similarity.ivf_learn_sql, ["embeddings"]),
     "sim_ivf_assign_learned": (similarity.ivf_assign_learned_sql, ["embeddings"]),
     "sim_ivf_topk_learned": (similarity.ivf_topk_learned_sql, ["embeddings"]),
     "evt_hourly": (_events_sql, ["events"]),
@@ -581,13 +589,30 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Flagship kernels lead the sheet; everything else follows in family order.
+_FLAGSHIPS_FIRST = [
+    "t9_tin_rasterize",
+    "t9_tin_rasterize_skew",
+    "b_voxel_tin_backfill",
+    "v5_pip_rasterize",
+    "v9_raster_extents",
+    "s10_triangle_features",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _FLAGSHIPS_FIRST:
+        q[name] = _KERNEL_WITH_ORACLE[name][0]
+    for name, (spark_fn, _oracle, _tables) in _KERNEL_WITH_ORACLE.items():
+        q.setdefault(name, spark_fn)
     for name, (fn, tables) in _RELATIONAL.items():
         q[name] = _sql_query(fn, tables)
-    for name, (spark_fn, _oracle, _tables) in _KERNEL_WITH_ORACLE.items():
-        q[name] = spark_fn
     q.update(_ROWS_ONLY)
+    assert len(q) <= 50, (
+        f"driver correctness harness caps at 50 queries; got {len(q)} — "
+        "consolidate before adding more (see registry comment)"
+    )
     return q
 
 

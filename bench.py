@@ -305,6 +305,10 @@ def run_once() -> dict:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "windows": {k: [[round(a, 3), round(b, 3)] for a, b in v]
                     for k, v in windows.items()},
+        # per-key timed-attempt counts: the noise guard grants noisy keys
+        # up to 2 extra attempts (keep-min), so the protocol is non-uniform
+        # by design — this makes it auditable per key in the record itself
+        "attempts": {k: len(v) for k, v in windows.items()},
         "sf": sf,
         "cpus": CPUS,
         **{k: round(float(v), 3) for k, v in extras.items()},
@@ -637,12 +641,16 @@ def run_scaling() -> None:
             ]
         else:
             lines += [
-                "The engine's measured quotient EXCEEDS the zero-Spark probe's:",
-                "neighbor-VM contention shifted between the probe minutes and",
-                "the bench minutes (the probe caught a noisier slice of the",
-                "window — see BENCH/scaling_watch.jsonl for the day's swings).",
-                "The engine number therefore stands on its own timed windows;",
-                "the probe documents host weather, not an engine ceiling.",
+                "The engine's measured quotient EXCEEDS the zero-Spark probe's.",
+                "The probe and bench windows disagree, which cuts both ways:",
+                "either the probe caught a noisier slice of the window, or a",
+                "neighbor-VM burst depressed the engine's single-executor",
+                "denominator during the bench minutes and inflated the",
+                "quotient (see BENCH/scaling_watch.jsonl for the day's",
+                "swings).  Treat a ceiling-exceeding cycle as ambiguous",
+                "evidence — the keep-best ranking already caps rank credit",
+                "at the 0.8 bar and tie-breaks on absolute throughput so a",
+                "noise-inflated ratio cannot displace a faster honest run.",
             ]
     lines += [
         "",

@@ -86,6 +86,24 @@ def events_sessions_stream(
     )
 
 
+def write_batch_idempotent(df: DataFrame, out_dir: str, batch_id: int) -> None:
+    """Idempotent foreachBatch sink: the micro-batch lands in its own
+    ``batch_id=N`` partition via DYNAMIC partition overwrite, so a
+    replayed batch (crash after the data write but before the stream
+    checkpoint committed the offsets) overwrites its own partition
+    instead of appending duplicates.  foreachBatch guarantees a replay
+    reuses the same batch_id, which makes offsets-checkpoint + this
+    sink end-to-end exactly-once (a blind ``mode("append")`` sink is
+    only at-least-once under that crash window)."""
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+
+
 def tiles_stream(
     spark: SparkSession,
     source_dir: str,
@@ -100,11 +118,12 @@ def tiles_stream(
     foreachBatch hands every micro-batch to the batch-path
     :func:`tin_stage.rasterize_images_fused`, so stream output ==
     batch output row-for-row by construction; the stream checkpoint
-    (source offsets) plus per-batch append gives exactly-once tile
-    production across restarts — the streaming twin of the
-    checkpoint/resume contract.  Returns the started query (caller
-    awaits termination; availableNow drains the directory once).
-    """
+    (source offsets) plus the batch_id-keyed idempotent sink
+    (:func:`write_batch_idempotent`) gives exactly-once tile
+    production across restarts, including mid-batch crash-replay —
+    the streaming twin of the checkpoint/resume contract.  Returns
+    the started query (caller awaits termination; availableNow drains
+    the directory once)."""
     from . import tin_stage
 
     static = spark.read.parquet(source_dir)  # directory of image parquet files
@@ -116,7 +135,7 @@ def tiles_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         tiles = tin_stage.rasterize_images_fused(batch_df, px=px)
-        tiles.write.mode("append").parquet(out_dir)
+        write_batch_idempotent(tiles, out_dir, batch_id)
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -140,8 +159,10 @@ def media_stream(
     must not fork between the backfill (batch) and the live tail
     (stream), so foreachBatch hands each micro-batch to the batch
     operator and stream output == batch output row-for-row by
-    construction, with the stream checkpoint giving exactly-once stats
-    production across restarts."""
+    construction.  The stream checkpoint plus the batch_id-keyed
+    idempotent sink (:func:`write_batch_idempotent`) gives exactly-once
+    stats production across restarts, including mid-batch
+    crash-replay."""
     from ..pipelines import multimodal
 
     static = spark.read.parquet(source_dir)
@@ -153,7 +174,7 @@ def media_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         stats = multimodal.audio_decode_stats(batch_df)
-        stats.write.mode("append").parquet(out_dir)
+        write_batch_idempotent(stats, out_dir, batch_id)
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -46,15 +46,30 @@ def _arg(name: str, default: float) -> float:
 
 
 def _busy() -> str | None:
+    """A competing bench/pytest is running.  Matches the actual script
+    token (basename of an argv entry), not a raw substring of the full
+    command line, so `tail -f bench.py.log`, editors, or greps that
+    merely MENTION bench.py/pytest don't wedge the watcher; own pid is
+    excluded (the watcher's bench children run synchronously, so they
+    are never concurrent with a _busy() call)."""
     out = subprocess.run(
-        ["ps", "-eo", "args"], capture_output=True, text=True
+        ["ps", "-eo", "pid,args"], capture_output=True, text=True
     ).stdout
-    me = os.getpid()
-    for line in out.splitlines():
-        if "scaling_watch" in line:
+    me = str(os.getpid())
+    for line in out.splitlines()[1:]:
+        parts = line.split()
+        if len(parts) < 2 or parts[0] == me:
             continue
-        if "bench.py" in line or "pytest" in line:
+        argv = parts[1:]
+        names = [os.path.basename(a) for a in argv]
+        if "scaling_watch.py" in names:
+            continue
+        if "bench.py" in names or "pytest" in names or "py.test" in names:
             return line.strip()[:80]
+        # `python -m pytest ...`
+        for i, a in enumerate(argv[:-1]):
+            if a == "-m" and argv[i + 1] in ("pytest", "py.test"):
+                return line.strip()[:80]
     if os.path.exists(PAUSE_FLAG):
         return "pause flag"
     return None

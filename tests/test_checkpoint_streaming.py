@@ -414,14 +414,35 @@ def test_media_stream_matches_batch(spark, tmp_path):
     ckpt = str(tmp_path / "stats_ckpt")
     q = streaming.media_stream(spark, src, out, ckpt)
     q.awaitTermination()
-    got = {tuple(r) for r in spark.read.parquet(out).collect()}
-    want = {
-        tuple(r)
-        for r in multimodal.audio_decode_stats(
-            spark.read.parquet(f"{images_dir}/audio.parquet")
-        ).collect()
-    }
+    batch = multimodal.audio_decode_stats(
+        spark.read.parquet(f"{images_dir}/audio.parquet")
+    )
+    cols = batch.columns  # sink adds a batch_id partition column on top
+    got = {tuple(r) for r in spark.read.parquet(out).select(*cols).collect()}
+    want = {tuple(r) for r in batch.collect()}
     assert got == want and len(got) == 9
     q2 = streaming.media_stream(spark, src, out, ckpt)
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == 9
+
+
+def test_idempotent_sink_crash_replay(spark, tmp_path):
+    """Crash-replay semantics of the foreachBatch sink: foreachBatch
+    replays a micro-batch with the SAME batch_id if the process dies
+    after the data write but before the offsets commit.  The
+    batch_id-keyed dynamic-overwrite sink must absorb the replay
+    (no duplicate rows) while still appending genuinely new batches."""
+    from lasutility_spark.engine import streaming
+
+    out = str(tmp_path / "sink_out")
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    streaming.write_batch_idempotent(df0, out, batch_id=0)
+    assert spark.read.parquet(out).count() == 2
+    # simulated crash-replay: same batch re-delivered with batch_id=0
+    streaming.write_batch_idempotent(df0, out, batch_id=0)
+    assert spark.read.parquet(out).count() == 2  # overwrote, not appended
+    # a new batch still lands additively
+    df1 = spark.createDataFrame([(3, "c")], "k int, v string")
+    streaming.write_batch_idempotent(df1, out, batch_id=1)
+    got = {(r["k"], r["v"], r["batch_id"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a", 0), (2, "b", 0), (3, "c", 1)}
