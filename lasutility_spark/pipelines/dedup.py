@@ -16,6 +16,8 @@ equi-join AQE can handle, and candidate verification stays per-pair.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from .text import P31
@@ -131,13 +133,27 @@ def _shingle_hash_numpy(t: str):
 def minhash_bands_spark(
     spark,
     rows_per_band: int = K_MINHASH // BANDS,
+    keep_prior_keys: bool = False,
     keep_sig: bool = False,
 ):
     """DataFrame twin of minhash_bands_sql: numpy signature UDF + inline
     band explode; output columns (doc_id, band, band_key) match the SQL
-    oracle bit-for-bit.  ``keep_sig`` additionally carries the full
-    signature array ``mh`` on every band row (used by the min-band pair
-    emission in :func:`minhash_pairs_spark`)."""
+    oracle bit-for-bit.  ``keep_prior_keys`` additionally carries
+    ``pk1..pk{BANDS-1}`` — the band_keys of the EARLIER bands only
+    (NULL for positions at/after the row's own band) — used by the
+    min-band pair emission in :func:`minhash_pairs_spark`.  This is the
+    slim replacement for carrying the full K-slot ``mh`` signature on
+    every band row: the first-colliding-band predicate only ever looks
+    at bands BEFORE the row's own, and prior-band collision is keyed on
+    band_key equality — the same key the pair-emission join itself uses,
+    so suppression is exactly consistent with emission even if band_key
+    were not injective in the slots.  Fixed nullable bigint columns beat
+    an array<bigint> here: no 24-byte per-row array header through the
+    exchange, and the NULL slots are zero bytes after shuffle
+    compression.
+    ``keep_sig`` carries the full K-slot ``mh`` signature instead — the
+    pre-round-5 fat payload, retained ONLY for shuffle-bytes A/B
+    benchmarking (see SPARK_GRAFT_Q4_FAT in minhash_pairs_spark)."""
     from pyspark.sql import functions as F
 
     a_arr = _AS
@@ -158,13 +174,21 @@ def minhash_bands_spark(
         return pd.Series(out)
 
     docs = spark.table("documents").select("doc_id", sig_udf("text").alias("mh"))
-    structs = []
+    keys = []
     for b in range(BANDS):
         i0 = b * rows_per_band
         key = f"element_at(mh, {i0 + 1}) * {P31}"
         for r in range(1, rows_per_band):
             key += f" + element_at(mh, {i0 + r + 1})"
-        structs.append(f"struct({b}L AS band, CAST({key} AS BIGINT) AS band_key)")
+        keys.append(f"CAST({key} AS BIGINT)")
+    structs = []
+    for b in range(BANDS):
+        fields = [f"{b}L AS band", f"{keys[b]} AS band_key"]
+        if keep_prior_keys:
+            for bp in range(BANDS - 1):
+                val = keys[bp] if bp < b else "CAST(NULL AS BIGINT)"
+                fields.append(f"{val} AS pk{bp + 1}")
+        structs.append(f"struct({', '.join(fields)})")
     cols = ["doc_id", F.expr("inline(array(" + ", ".join(structs) + "))")]
     if keep_sig:
         cols.insert(1, "mh")
@@ -180,27 +204,45 @@ def minhash_pairs_spark(spark, rows_per_band: int = K_MINHASH // BANDS):
     #
     # Min-band emission: a pair colliding in several bands is kept ONLY
     # in its first colliding band, decided by a codegen'd filter over
-    # the carried signatures (band_key -> signature slots is injective,
-    # so "earlier band collided" is element-wise mh equality).  This
-    # replaces the global DISTINCT — the only exchange over the
-    # candidate-pair set itself — with a narrow per-row predicate; the
-    # remaining shuffle is the band equi-join over the (docs x BANDS)
-    # table, which is the part that scales.
-    bands = minhash_bands_spark(spark, rows_per_band, keep_sig=True).persist()
+    # the carried prior-band keys ("earlier band collided" is band_key
+    # equality at that earlier band — the SAME key the emission join
+    # uses, so suppression is exactly the dedup of the emitted
+    # multiset).  This replaces the global DISTINCT — the only exchange
+    # over the candidate-pair set itself — with a narrow per-row
+    # predicate; the remaining shuffle is the band equi-join over the
+    # (docs x BANDS) table, which is the part that scales, and each
+    # band row carries only its EARLIER bands' keys (fixed nullable
+    # pk columns) instead of the full K-slot signature.
+    # SPARK_GRAFT_Q4_FAT=1 switches back to the pre-round-5 fat payload
+    # (full K-slot mh carried per band row, elementwise-mh suppression)
+    # for shuffle-bytes A/B benchmarking; outputs are identical.
+    fat = os.environ.get("SPARK_GRAFT_Q4_FAT", "0") == "1"
+    bands = minhash_bands_spark(
+        spark, rows_per_band, keep_prior_keys=not fat, keep_sig=fat
+    ).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     from pyspark.sql import functions as F
 
-    first_band = " AND ".join(
-        f"(a.band <= {bp} OR NOT ("
-        + " AND ".join(
-            f"element_at(a.mh, {bp * rows_per_band + r + 1}) = "
-            f"element_at(b.mh, {bp * rows_per_band + r + 1})"
-            for r in range(rows_per_band)
+    if fat:
+        first_band = " AND ".join(
+            f"(a.band <= {bp} OR NOT ("
+            + " AND ".join(
+                f"element_at(a.mh, {bp * rows_per_band + r + 1}) = "
+                f"element_at(b.mh, {bp * rows_per_band + r + 1})"
+                for r in range(rows_per_band)
+            )
+            + "))"
+            for bp in range(BANDS - 1)
         )
-        + "))"
-        for bp in range(BANDS - 1)
-    )
+    else:
+        # pk{bp+1} is non-NULL exactly when band > bp, and a.band ==
+        # b.band on joined rows, so the NULL positions are always
+        # short-circuited by the band <= bp guard
+        first_band = " AND ".join(
+            f"(a.band <= {bp} OR a.pk{bp + 1} != b.pk{bp + 1})"
+            for bp in range(BANDS - 1)
+        )
     return (
         a.join(
             b,
@@ -318,7 +360,7 @@ def ngram_jaccard_pairs_sql(dialect: str, threshold_x1000: int = 100) -> str:
     """
 
 
-def components_spark(spark, max_iters: int = 32):
+def components_spark(spark, max_iters: int = 32, stats: dict | None = None):
     """Near-duplicate CLUSTERS: connected components over the LSH
     candidate-pair graph via iterative min-label propagation — the
     Pregel/BSP shape (each superstep: neighbor-min join + label update,
@@ -328,11 +370,19 @@ def components_spark(spark, max_iters: int = 32):
 
     Scale notes: each superstep is two shuffles on (doc_id); supersteps
     are bounded by the cluster diameter (near-dup clusters are shallow).
-    Labels persist per iteration and the previous iteration unpersists —
-    at 10^12 scale add a localCheckpoint every ~5 supersteps to cut
-    lineage (documented here; at fixture scale the plan stays small).
-    The driver-side loop is control flow only — per-row data never
-    leaves the cluster (the convergence check is a count()).
+    The convergence check is FOLDED into the superstep: the label update
+    carries a per-row ``chg`` flag and ONE aggregate job both
+    materializes the new label cache and returns the changed-count —
+    there is no separate old-vs-new join + count job per iteration
+    (at 10^12 edges that second job per superstep doubles the job
+    count for pure control flow).  Labels persist per iteration and the
+    previous iteration unpersists — at 10^12 scale add a
+    localCheckpoint every ~5 supersteps to cut lineage (documented
+    here; at fixture scale the plan stays small).  The driver-side
+    loop is control flow only — per-row data never leaves the cluster.
+
+    ``stats`` (optional dict) receives ``{"supersteps": k}`` so tests
+    can bound the per-superstep job count via the status tracker.
 
     Oracle: the same components as a DuckDB RECURSIVE CTE (transitive
     closure + MIN) — see :func:`components_sql`.
@@ -348,30 +398,30 @@ def components_spark(spark, max_iters: int = 32):
     )
     try:
         labels.count()
-        for _ in range(max_iters):
+        for it in range(max_iters):
             nbr = (
                 edges.join(labels, edges.src == labels.doc_id)
                 .groupBy("dst")
                 .agg(F.min("comp").alias("nbr_comp"))
             )
+            new_comp = F.least(
+                F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+            )
             new_labels = (
                 labels.join(nbr, labels.doc_id == nbr.dst, "left")
                 .select(
                     labels.doc_id,
-                    F.least(
-                        F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                    ).alias("comp"),
+                    new_comp.alias("comp"),
+                    (new_comp < F.col("comp")).cast("int").alias("chg"),
                 )
                 .persist()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .where(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
+            # one job: materializes the cache AND returns the changed-count
+            changed = new_labels.agg(F.sum("chg")).collect()[0][0]
             labels.unpersist()
             labels = new_labels
+            if stats is not None:
+                stats["supersteps"] = it + 1
             if changed == 0:
                 break
         else:
