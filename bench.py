@@ -207,6 +207,14 @@ def run_once() -> dict:
         # tests).  SPARK_GRAFT_Q1B_PACKED=0 restores the row shuffle.
         if os.environ.get("SPARK_GRAFT_Q1B_PACKED", "1") == "1":
             def q1b():
+                # deliberately no num_partitions: AQE coalesces the tiny
+                # packed shuffle to few kernel tasks, and at sandbox tile
+                # counts the ~18 ms/task python-worker handshake costs
+                # more than the lost parallelism (measured: 6-task AQE
+                # plan 4.3-4.5 s vs 128-task pinned plan 5.0-5.3 s,
+                # same window).  On a real cluster pass num_partitions
+                # to rasterize_tin_tiles_packed to pin kernel
+                # parallelism instead.
                 return tin_stage.rasterize_tin_tiles_packed(
                     epoints.decode_points_packed(
                         q1b_images.repartition(4 * CPUS)
@@ -783,8 +791,73 @@ def run_scaling() -> None:
     }))
 
 
+def run_q1b_ab(n_rounds: int = 3) -> None:
+    """Same-window q1b A/B: packed vs row shuffle, interleaved warm
+    attempts in ONE session so both see identical host weather.  Emits a
+    JSON line, writes BENCH/q1b_ab.json, and appends/updates the
+    'q1b packed vs row' section data used by BENCH/BASELINE.md."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from lasutility_spark import datagen
+    from lasutility_spark.engine import points as epoints, tin_stage
+    from lasutility_spark.engine.session import get_spark
+
+    sf = _sf_of(SF_DIR)
+    spark = get_spark(CPUS, app=f"q1b_ab_c{CPUS}")
+    images_dir = datagen.ensure_images_table(sf)
+    images = spark.read.parquet(f"{images_dir}/images.parquet").cache()
+    images.count()
+    q1b_images = images.filter(F.crc32(F.col("caption")) % 4 == 0)
+
+    def packed():
+        return tin_stage.rasterize_tin_tiles_packed(
+            epoints.decode_points_packed(q1b_images.repartition(4 * CPUS)),
+            px=128,
+        ).count()
+
+    def row():
+        return tin_stage.rasterize_tin_tiles(
+            epoints.decode_points(q1b_images.repartition(4 * CPUS)),
+            px=128,
+            num_partitions=4 * CPUS,
+        ).count()
+
+    packed(), row()  # warm-up both plans
+    times: dict[str, list[float]] = {"packed": [], "row": []}
+    n_tiles = 0
+    for _ in range(n_rounds):
+        for name, fn in (("packed", packed), ("row", row)):
+            t0 = _t.time()
+            n_tiles = fn()
+            times[name].append(round(_t.time() - t0, 3))
+    spark.stop()
+    rec = {
+        "metric": "q1b_packed_vs_row_ab",
+        "sf": sf,
+        "cpus": CPUS,
+        "n_tiles": n_tiles,
+        "packed_sec": times["packed"],
+        "row_sec": times["row"],
+        "packed_best": min(times["packed"]),
+        "row_best": min(times["row"]),
+        "speedup_best": round(min(times["row"]) / min(times["packed"]), 3),
+        "note": (
+            "interleaved same-session attempts; shuffle-bytes >=2x "
+            "reduction pinned by tests/test_engine_spark.py::"
+            "test_packed_shuffle_measured_exchange_bytes"
+        ),
+    }
+    with open(os.path.join(REPO, "BENCH", "q1b_ab.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--q1b-ab" in sys.argv:
+        run_q1b_ab()
     else:
         print(json.dumps(run_once()))

@@ -157,6 +157,7 @@ def rasterize_tin_tiles_packed(
     px: int = 128,
     size_north: int = 1000,
     ground_max_first: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Packed-shuffle twin of :func:`rasterize_tin_tiles`: input is the
     ``engine.points.decode_points_packed`` table (one row per source
@@ -166,7 +167,16 @@ def rasterize_tin_tiles_packed(
     (dyadic cellsize, replayed ``png16_to_dem`` arithmetic,
     deterministic ``datagen.assign_classes``) and produces rows
     byte-identical to the row-shuffle path — pinned in
-    tests/test_engine_spark.py."""
+    tests/test_engine_spark.py.
+
+    ``num_partitions`` matters MORE here than on the row path: the
+    packed rows are so small that AQE's bytes-based partition
+    coalescing collapses the kernel stage to a handful of tasks
+    (observed 6 tasks on 32 cores at sf0.1 — the Delaunay kernel is
+    CPU-bound, so bytes are the wrong signal).  An explicit
+    range-partition on cell_id pins the kernel-stage parallelism and
+    applyInPandas reuses that partitioning without a second
+    exchange."""
     from ..gridlib.png import png_decode  # noqa: F401  (doc anchor)
 
     z_min, z_max = datagen.Z_MIN, datagen.Z_MAX
@@ -212,6 +222,8 @@ def rasterize_tin_tiles_packed(
             cls = np.empty(0, np.uint8)
         return _tile_row(cell, x, y, z, cls, px, size_north, ground_max_first)
 
+    if num_partitions:
+        packed = repartition_by_cell(packed, num_partitions)
     return packed.groupBy("cell_id").applyInPandas(kernel, TILE_SCHEMA)
 
 

@@ -1,6 +1,8 @@
 """Spark-stage integration tests: end-to-end slice, PIP strategies, voxel
 relational ops, partition-count invariance (local[8] == local[32] analog)."""
 
+import re
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -492,8 +494,10 @@ def _exchange_bytes_since(spark, n0: int) -> float:
         while eit.hasNext():
             e = eit.next()
             if names.get(e._1()) == "shuffle bytes written":
-                num, unit = str(e._2()).split()[:2]
-                total += float(num) * units[unit]
+                # plain ('51.0 KiB') or stats ('total (min, med, max …):\n51.0 KiB (…)')
+                m = re.search(r"([\d.]+)\s+(B|KiB|KB|MiB|MB|GiB|GB)", str(e._2()))
+                assert m, f"unparseable metric value: {e._2()!r}"
+                total += float(m.group(1)) * units[m.group(2)]
     return total
 
 
@@ -560,4 +564,35 @@ def test_minhash_slim_vs_fat_shuffle_bytes(spark, monkeypatch):
     )
     assert slim_raw * 2 <= fat_raw, (
         f"raw row width {slim_raw} vs {fat_raw} — expected >=2x reduction"
+    )
+
+
+def test_packed_shuffle_measured_exchange_bytes(spark, images_dir):
+    """Measured (SQL-metrics) 'shuffle bytes written' for the q1b packed
+    path vs the row path: the packed groupBy exchange must move <= half
+    the bytes end-to-end.  Complements the schema-math assertion in
+    test_packed_shuffle_matches_row_shuffle with the engine's own
+    runtime metrics (VERDICT r04 ask #3)."""
+    from lasutility_spark.engine import points as pts
+    from lasutility_spark.engine import tin_stage
+
+    images = pts.read_images(spark, images_dir)
+
+    n0 = _n_execs(spark)
+    n_row = tin_stage.rasterize_tin_tiles(
+        pts.decode_points(images), px=32, num_partitions=4
+    ).count()
+    row_bytes = _exchange_bytes_since(spark, n0)
+
+    n0 = _n_execs(spark)
+    n_packed = tin_stage.rasterize_tin_tiles_packed(
+        pts.decode_points_packed(images), px=32
+    ).count()
+    packed_bytes = _exchange_bytes_since(spark, n0)
+
+    assert n_row == n_packed == 9
+    assert row_bytes > 0 and packed_bytes > 0
+    assert packed_bytes * 2 <= row_bytes, (
+        f"packed exchange {packed_bytes:.0f} B vs row {row_bytes:.0f} B — "
+        "expected >=2x measured reduction"
     )
