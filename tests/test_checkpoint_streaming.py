@@ -446,3 +446,52 @@ def test_idempotent_sink_crash_replay(spark, tmp_path):
     streaming.write_batch_idempotent(df1, out, batch_id=1)
     got = {(r["k"], r["v"], r["batch_id"]) for r in spark.read.parquet(out).collect()}
     assert got == {(1, "a", 0), (2, "b", 0), (3, "c", 1)}
+
+
+def test_compaction_crash_window_recovers(spark, tmp_path):
+    """Crash injected in _compact_side_table's rewrite window (after
+    ``rmtree(_keys)``, before ``rename(_keys.next, _keys)``): the marker
+    is already removed, so the checkpoint is torn — detected on the next
+    resume, fully recomputed, and healthy afterwards.  Recovery cost is
+    O(stage), never silent wrongness (VERDICT r04 #8)."""
+    import shutil
+
+    path = str(tmp_path / "crash_stage")
+    df = spark.createDataFrame(pd.DataFrame({"cell_id": [0, 1], "v": [0, 2]}))
+    checkpoint.write_stage(df, path, "tin", ["in.parquet"], {"px": 64})
+
+    def compute(pending):
+        return pending.select("cell_id", (F.col("cell_id") * 2).alias("v"))
+
+    wanted = spark.createDataFrame(pd.DataFrame({"cell_id": [0, 1, 2, 3]}))
+    checkpoint.resume_stage(
+        spark, wanted, path, compute, "tin", ["in.parquet"], {"px": 64}
+    )
+
+    # fabricate the exact mid-compaction crash state: marker removed
+    # (mutation window), _keys rewritten to _keys.next, _keys deleted,
+    # rename never happened
+    keys_dir = os.path.join(path, checkpoint.KEYS_DIR)
+    os.remove(os.path.join(path, checkpoint.SUCCESS))
+    shutil.copytree(keys_dir, keys_dir + ".next")
+    shutil.rmtree(keys_dir)
+
+    # torn: the manifest loader refuses it, pending = ALL keys
+    assert checkpoint.load_manifest(path) is None
+    todo = checkpoint.pending_keys(spark, wanted, path, {"px": 64})
+    assert todo.count() == 4
+
+    # next resume recomputes the full stage and leaves a healthy
+    # checkpoint: marker back, side tables readable, values correct
+    out = checkpoint.resume_stage(
+        spark, wanted, path, compute, "tin", ["in.parquet"], {"px": 64}
+    )
+    assert {r["cell_id"]: r["v"] for r in out.collect()} == {
+        0: 0, 1: 2, 2: 4, 3: 6
+    }
+    assert os.path.exists(os.path.join(path, checkpoint.SUCCESS))
+    keys = checkpoint.completed_keys(spark, path)
+    assert sorted(r["cell_id"] for r in keys.collect()) == [0, 1, 2, 3]
+    assert not os.path.exists(keys_dir + ".next")  # wreckage swept
+    m = checkpoint.load_manifest(path)
+    assert m is not None and m["n_completed_keys"] == 4
