@@ -35,6 +35,23 @@ _CORE = np.dtype(
 )
 _FORMAT_SIZES = {0: 20, 1: 28, 2: 26, 3: 34}  # gps time +8, rgb +6
 
+# LAS 1.4 POINT14 core (formats 6-10): X/Y/Z int32, intensity u2,
+# returns u1 (ret | nret<<4), flags u1 (class_flags | channel<<4 |
+# scandir<<6 | edge<<7), classification u1, user data u1, scan angle
+# i2, source u2, gps time f8 — classification moves to byte 16 and
+# widens to the full 0-255 range
+_CORE14 = np.dtype(
+    [
+        ("X", "<i4"), ("Y", "<i4"), ("Z", "<i4"),
+        ("intensity", "<u2"), ("returns", "u1"), ("flags", "u1"),
+        ("classification", "u1"), ("user_data", "u1"),
+        ("scan_angle", "<i2"), ("point_source", "<u2"),
+        ("gps_time", "<f8"),
+    ]
+)
+# formats 7/8 append RGB (+6) / RGB+NIR (+8); 9/10 add wavepackets
+_FORMAT14_SIZES = {6: 30, 7: 36, 8: 38}
+
 
 def read_header(data: bytes) -> dict:
     """LAS header bytes -> dict (the ILasFileReader surface + layout)."""
@@ -82,21 +99,30 @@ def read_las(data: bytes):
             "compressed LAZ points (format bit 7 set) — use laz.read_laz"
         )
     fmt = h["point_format"] & 0x3F
-    if fmt not in _FORMAT_SIZES:
-        raise ValueError(f"unsupported point format {fmt} (0-3 supported)")
+    if fmt in (9, 10):
+        raise ValueError(
+            f"point format {fmt} carries wavepackets — out of scope"
+        )
+    if fmt not in _FORMAT_SIZES and fmt not in _FORMAT14_SIZES:
+        raise ValueError(f"unsupported point format {fmt} (0-3, 6-8 supported)")
+    core_dt = _CORE14 if fmt >= 6 else _CORE
     n = h["point_count"]
     rec = h["record_len"]
-    if rec < _CORE.itemsize:
+    if rec < core_dt.itemsize:
         raise ValueError(f"record length {rec} shorter than core layout")
     block = np.frombuffer(
         data, dtype=np.uint8, count=n * rec, offset=h["offset_to_points"]
     ).reshape(n, rec)
-    core = np.ascontiguousarray(block[:, : _CORE.itemsize]).view(_CORE).reshape(n)
+    core = np.ascontiguousarray(block[:, : core_dt.itemsize]).view(core_dt).reshape(n)
     sx, sy, sz = h["scale"]
     ox, oy, oz = h["offset"]
     x = core["X"] * sx + ox
     y = core["Y"] * sy + oy
     z = core["Z"] * sz + oz
+    if fmt >= 6:
+        h["_gps_time"] = core["gps_time"].copy()
+        h["_returns"] = (core["returns"] & 0x0F).astype(np.uint8)
+        h["_channel"] = ((core["flags"] >> 4) & 0x03).astype(np.uint8)
     return h, x, y, z, core["classification"].copy()
 
 

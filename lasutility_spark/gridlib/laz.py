@@ -33,8 +33,12 @@ compressor, previous-size prediction — validated against the reference
 fixture's own table), so real multi-chunk laszip files locate their
 chunk boundaries correctly.
 
-Scope boundary: other item types (RGB12, BYTE, the 1.4 POINT14 family)
-and record version 1 raise ValueError with a clear message.
+Round 4 added the RGB12 v2 item both directions (point formats 2/3);
+round 5 added the BYTE v2 (extra-bytes) item both directions and the
+LAS 1.4 POINT14 layered path in :mod:`.laz14` (:func:`read_laz`
+dispatches item types >= 10 there).  Remaining scope boundary:
+WAVEPACKET items and record version 1 raise ValueError with a clear
+message.
 """
 
 from __future__ import annotations
@@ -693,9 +697,39 @@ class Rgb12V2Writer:
         self.r, self.g, self.b = r, g, b
 
 
+class Byte2Reader:
+    """BYTE item (extra bytes), record version 2: each of the k extra
+    bytes is coded as its (value - last) difference, folded mod 256, in
+    its OWN adaptive 256-symbol model — the laszip BYTE v2 scheme."""
+
+    def __init__(self, dec: ArithmeticDecoder, first: bytes) -> None:
+        self.dec = dec
+        self.last = list(first)
+        self.models = [ArithmeticModel(256) for _ in first]
+
+    def read(self) -> bytes:
+        for i, m in enumerate(self.models):
+            self.last[i] = (self.last[i] + self.dec.decode_symbol(m)) & 0xFF
+        return bytes(self.last)
+
+
+class Byte2Writer:
+    def __init__(self, enc: "ArithmeticEncoder", first: bytes) -> None:
+        self.enc = enc
+        self.last = list(first)
+        self.models = [ArithmeticModel(256) for _ in first]
+
+    def write(self, cur: bytes) -> None:
+        for i, m in enumerate(self.models):
+            self.enc.encode_symbol(m, (cur[i] - self.last[i]) & 0xFF)
+            self.last[i] = cur[i]
+
+
 # --- container level -------------------------------------------------------
 
 LASZIP_VLR_RECORD_ID = 22204
+ITEM_BYTE = 0
+ITEM_POINT14 = 10  # layered family — handled in .laz14
 ITEM_POINT10 = 6
 ITEM_GPSTIME11 = 7
 ITEM_RGB12 = 8
@@ -710,6 +744,7 @@ def parse_laszip_vlr(data: bytes, header: dict) -> dict:
     pos = header["header_size"]
     for _ in range(header["n_vlrs"]):
         _res, _uid, rid, rlen = struct.unpack_from("<H16sHH", data, pos)
+        desc = data[pos + 22 : pos + 54]
         body = data[pos + 54 : pos + 54 + rlen]
         pos += 54 + rlen
         if rid != LASZIP_VLR_RECORD_ID:
@@ -727,6 +762,9 @@ def parse_laszip_vlr(data: bytes, header: dict) -> dict:
             "version": (vmaj, vmin, vrev),
             "chunk_size": chunk_size,
             "items": items,  # (type, size, version)
+            # VLR description, nulls stripped — laz14 writes its writer
+            # tag here so its reader can refuse native POINT14 streams
+            "writer_tag": desc.rstrip(b"\0"),
         }
     raise ValueError("no laszip VLR found — not a LAZ file?")
 
@@ -749,13 +787,19 @@ def laz_chunk_plan(data: bytes):
     if vlr["compressor"] not in (1, 2):
         raise ValueError(f"unsupported laszip compressor {vlr['compressor']}")
     for itype, _isize, iver in vlr["items"]:
+        if itype == ITEM_POINT14:
+            raise ValueError(
+                "POINT14 streams are layered (compressor 3) — use "
+                "laz14.read_laz14 (read_laz dispatches there)"
+            )
         if (itype, iver) not in (
-            (ITEM_POINT10, 2), (ITEM_GPSTIME11, 2), (ITEM_RGB12, 2)
+            (ITEM_POINT10, 2), (ITEM_GPSTIME11, 2), (ITEM_RGB12, 2),
+            (ITEM_BYTE, 2),
         ):
             raise ValueError(
                 "unsupported laszip item "
                 f"{_ITEM_NAMES.get(itype, itype)} v{iver} (POINT10/GPSTIME11/"
-                "RGB12 v2 supported — point formats 0-3)"
+                "RGB12/BYTE v2 supported — point formats 0-3)"
             )
     n = header["point_count"]
     pos = header["offset_to_points"]
@@ -814,13 +858,19 @@ def laz_chunk_plan(data: bytes):
 
 
 def decode_laz_chunk(data: bytes, vlr: dict, start: int, count: int):
-    """One chunk -> (X, Y, Z int64 raw-quantized, cls, returns, gps, rgb).
+    """One chunk -> (X, Y, Z int64 raw-quantized, cls, returns, gps, rgb,
+    extra).
 
     ``rgb`` is an (n, 3) uint16 array for point formats 2/3 (RGB12 item
-    present), else None.  Items decode interleaved per point in VLR item
-    order, sharing one arithmetic decoder — the laszip stream layout."""
+    present), else None; ``extra`` is an (n, k) uint8 array when a BYTE
+    (extra-bytes) item of width k is present, else None.  Items decode
+    interleaved per point in VLR item order, sharing one arithmetic
+    decoder — the laszip stream layout."""
     has_gps = any(t == ITEM_GPSTIME11 for t, _s, _v in vlr["items"])
     has_rgb = any(t == ITEM_RGB12 for t, _s, _v in vlr["items"])
+    n_extra = next(
+        (s for t, s, _v in vlr["items"] if t == ITEM_BYTE), 0
+    )
     xs = np.empty(count, np.int64)
     ys = np.empty(count, np.int64)
     zs = np.empty(count, np.int64)
@@ -828,6 +878,7 @@ def decode_laz_chunk(data: bytes, vlr: dict, start: int, count: int):
     rets = np.empty(count, np.uint8)
     gps = np.zeros(count, np.float64)
     rgb = np.zeros((count, 3), np.uint16) if has_rgb else None
+    extra = np.zeros((count, n_extra), np.uint8) if n_extra else None
     pos = start
     raw10 = data[pos : pos + 20]
     pos += 20
@@ -839,10 +890,15 @@ def decode_laz_chunk(data: bytes, vlr: dict, start: int, count: int):
     if has_rgb:
         rawrgb = data[pos : pos + 6]
         pos += 6
+    rawextra = b""
+    if n_extra:
+        rawextra = data[pos : pos + n_extra]
+        pos += n_extra
     dec = ArithmeticDecoder(data, pos)
     p10 = Point10V2Reader(dec, raw10)
     gpsr = GpsTime11V2Reader(dec, rawgps) if has_gps else None
     rgbr = Rgb12V2Reader(dec, rawrgb) if has_rgb else None
+    extr = Byte2Reader(dec, rawextra) if n_extra else None
     xs[0], ys[0], zs[0] = p10.x, p10.y, p10.z
     cls[0] = p10.classification
     rets[0] = p10.flags & 0x07
@@ -850,6 +906,8 @@ def decode_laz_chunk(data: bytes, vlr: dict, start: int, count: int):
         gps[0] = struct.unpack("<d", rawgps)[0]
     if rgb is not None:
         rgb[0] = struct.unpack("<3H", rawrgb)
+    if extra is not None:
+        extra[0] = np.frombuffer(rawextra, np.uint8)
     dec.init()
     for j in range(1, count):
         x, y, z, _inten, flags, c, _sa, _ud, _psid = p10.read()
@@ -860,14 +918,24 @@ def decode_laz_chunk(data: bytes, vlr: dict, start: int, count: int):
             gps[j] = gpsr.read()
         if rgbr is not None:
             rgb[j] = rgbr.read()
-    return xs, ys, zs, cls, rets, gps, rgb
+        if extr is not None:
+            extra[j] = np.frombuffer(extr.read(), np.uint8)
+    return xs, ys, zs, cls, rets, gps, rgb, extra
 
 
 def read_laz(data: bytes):
     """LAZ bytes -> (header, x, y, z, classification) float64/uint8 arrays
     — the same surface as :func:`las.read_las`, via full LASzip
     decompression.  Also attaches per-point return numbers and gps times
-    on the header dict (``_returns``, ``_gps_time``) for validation."""
+    on the header dict (``_returns``, ``_gps_time``) for validation.
+    LAS 1.4 POINT14 streams (point formats 6+) dispatch to
+    :func:`.laz14.read_laz14` (layered compressor 3)."""
+    h = read_header(data)
+    vlr0 = parse_laszip_vlr(data, h)
+    if any(t >= 10 for t, _s, _v in vlr0["items"]):
+        from .laz14 import read_laz14
+
+        return read_laz14(data)
     header, vlr, chunks = laz_chunk_plan(data)
     parts = [decode_laz_chunk(data, vlr, s, c) for s, c in chunks]
     xs = np.concatenate([p[0] for p in parts])
@@ -880,6 +948,8 @@ def read_laz(data: bytes):
     header["_gps_time"] = np.concatenate([p[5] for p in parts])
     if parts[0][6] is not None:
         header["_rgb"] = np.concatenate([p[6] for p in parts])
+    if parts[0][7] is not None:
+        header["_extra"] = np.concatenate([p[7] for p in parts])
     return header, xs * sx + ox, ys * sy + oy, zs * sz + oz, cls
 
 
@@ -1300,11 +1370,14 @@ def write_laz(
     scale: tuple[float, float, float] = (0.01, 0.01, 0.01),
     chunk_size: int = 50000,
     rgb: np.ndarray | None = None,
+    extra_bytes: np.ndarray | None = None,
 ) -> bytes:
     """Arrays -> compressed LAZ bytes (LAS 1.2 header, point format 0-3
     with the compression bit, laszip VLR, compressor-2 chunked stream).
     ``rgb`` is an (n, 3) uint16 array -> point format 2 (or 3 with
-    ``gps_time``) carrying the RGB12 v2 item.
+    ``gps_time``) carrying the RGB12 v2 item.  ``extra_bytes`` is an
+    (n, k) uint8 array -> a BYTE v2 item of width k appended to every
+    record (the LAS extra-bytes mechanism).
 
     Round-trips :func:`read_laz` exactly (quantized int coordinates,
     classes, gps times).  The trailing chunk table uses the
@@ -1318,8 +1391,12 @@ def write_laz(
     n = len(x)
     has_gps = gps_time is not None
     has_rgb = rgb is not None
+    n_extra = 0
+    if extra_bytes is not None:
+        extra_bytes = np.asarray(extra_bytes, np.uint8).reshape(n, -1)
+        n_extra = extra_bytes.shape[1]
     fmt = (1 if has_gps else 0) | (2 if has_rgb else 0)
-    rec_len = 20 + (8 if has_gps else 0) + (6 if has_rgb else 0)
+    rec_len = 20 + (8 if has_gps else 0) + (6 if has_rgb else 0) + n_extra
     if has_rgb:
         rgb = np.asarray(rgb, np.uint16).reshape(n, 3)
     sx, sy, sz = scale
@@ -1353,10 +1430,14 @@ def write_laz(
         if has_rgb:
             c0 = struct.pack("<3H", *(int(v) for v in rgb[i]))
             chunks += c0
+        if n_extra:
+            e0 = extra_bytes[i].tobytes()
+            chunks += e0
         enc = ArithmeticEncoder()
         p10 = Point10V2Writer(enc, raw10(i))
         gpsw = GpsTime11V2Writer(enc, g0) if has_gps else None
         rgbw = Rgb12V2Writer(enc, c0) if has_rgb else None
+        extw = Byte2Writer(enc, e0) if n_extra else None
         for j in range(i + 1, i + count):
             p10.write(
                 (int(qx[j]), int(qy[j]), int(qz[j]), 0, 0x11, int(cls[j]),
@@ -1368,6 +1449,8 @@ def write_laz(
                 rgbw.write(
                     (int(rgb[j, 0]), int(rgb[j, 1]), int(rgb[j, 2]))
                 )
+            if extw is not None:
+                extw.write(extra_bytes[j].tobytes())
         chunks += enc.done()
         sizes.append(len(chunks) - start)
         i += count
@@ -1378,6 +1461,8 @@ def write_laz(
         items.append((ITEM_GPSTIME11, 8, 2))
     if has_rgb:
         items.append((ITEM_RGB12, 6, 2))
+    if n_extra:
+        items.append((ITEM_BYTE, n_extra, 2))
     vlr_body = struct.pack(
         "<HHBBHIIqqH", 2, 0, 2, 2, 0, 0, chunk_size, 0, -1, len(items)
     )

@@ -381,3 +381,118 @@ def test_laz_chunked_source_parallel_decode(spark, tmp_path):
     want = sorted(zip(np.round(rx, 2), np.round(ry, 2), np.round(rz, 2),
                       rcls.astype("int8")))
     assert got == want
+
+
+def test_laz14_point14_roundtrip_multichunk():
+    """LAS 1.4 format-6 POINT14 layered codec (compressor 3): synthetic
+    multi-chunk file round-trips exactly — quantized coordinates,
+    classes, gps times, and all four scanner-channel contexts
+    (VERDICT r04 #5).  WAVEPACKET items stay a ValueError."""
+    from lasutility_spark.gridlib import laz, laz14
+
+    rng = np.random.RandomState(7)
+    n = 9000
+    x = 385000 + np.cumsum(rng.normal(0, 0.8, n))
+    y = 6672000 + np.cumsum(rng.normal(0, 0.8, n))
+    z = 100 + np.cumsum(rng.normal(0, 0.05, n))
+    cls = rng.choice([2, 5, 6], n).astype(np.uint8)
+    gps = 300000.0 + np.cumsum(rng.uniform(1e-6, 1e-4, n))
+    chan = rng.choice([0, 1, 2, 3], n, p=[0.7, 0.1, 0.1, 0.1]).astype(np.uint8)
+
+    blob = laz14.write_laz14(
+        x, y, z, cls, gps_time=gps, channel=chan, chunk_size=2000
+    )
+    assert len(blob) < n * 30  # actually compresses
+    h, x2, y2, z2, c2 = laz14.read_laz14(blob)
+    assert h["version"] == (1, 4) and h["point_count"] == n
+    assert h["legacy_count"] == 0  # formats 6+ zero the legacy field
+    sx = h["scale"][0]
+    assert np.allclose(x2, x, atol=sx) and np.allclose(y2, y, atol=sx)
+    assert np.allclose(z2, z, atol=sx)
+    assert np.array_equal(c2, cls)
+    assert np.array_equal(h["_channel"], chan)
+    assert np.array_equal(h["_gps_time"], gps)  # bit-exact doubles
+    # the generic entry point dispatches by item type
+    h3, x3, _y3, _z3, c3 = laz.read_laz(blob)
+    assert np.array_equal(x3, x2) and np.array_equal(c3, c2)
+
+    # native laszip POINT14 streams are REFUSED (no silent garbage):
+    # strip the writer tag from the VLR description
+    d = bytearray(blob)
+    off = d.index(laz14._WRITER_TAG)
+    d[off : off + len(laz14._WRITER_TAG)] = b"\0" * len(laz14._WRITER_TAG)
+    with pytest.raises(ValueError, match="native laszip POINT14"):
+        laz14.read_laz14(bytes(d))
+
+    # WAVEPACKET refusal retained
+    d = bytearray(blob)
+    off = d.index(struct.pack("<3H", laz.ITEM_POINT14, 30, 3))
+    struct.pack_into("<H", d, off, laz14.ITEM_WAVEPACKET14)
+    with pytest.raises(ValueError, match="WAVEPACKET"):
+        laz14.read_laz14(bytes(d))
+
+
+def test_laz_extra_bytes_roundtrip():
+    """BYTE v2 (extra-bytes) item: (n, k) uint8 payload rides every
+    record through the compressed stream and round-trips exactly,
+    multi-chunk (VERDICT r04 #5)."""
+    from lasutility_spark.gridlib import laz
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    x = 385000 + np.cumsum(rng.normal(0, 0.5, n))
+    y = 6672000 + np.cumsum(rng.normal(0, 0.5, n))
+    z = 100 + rng.rand(n)
+    cls = np.full(n, 2, np.uint8)
+    gps = 1e5 + np.arange(n) * 1e-3
+    extra = rng.randint(0, 256, (n, 5)).astype(np.uint8)
+    blob = laz.write_laz(
+        x, y, z, cls, gps_time=gps, extra_bytes=extra, chunk_size=1000
+    )
+    h, x2, _y2, _z2, c2 = laz.read_laz(blob)
+    assert h["record_len"] == 28 + 5
+    assert np.allclose(x2, x, atol=0.006)
+    assert np.array_equal(h["_extra"], extra)
+    assert np.array_equal(h["_gps_time"], gps)
+
+
+def test_las14_uncompressed_formats_6_to_8():
+    """Uncompressed LAS 1.4 point formats 6-8 read through read_las:
+    classification at byte 16, gps/channel/returns attached; formats
+    9/10 (wavepackets) refuse."""
+    from lasutility_spark.gridlib import las, laz14
+
+    rng = np.random.RandomState(5)
+    n = 80
+    x = 385000 + rng.rand(n) * 100
+    y = 6672000 + rng.rand(n) * 100
+    z = 100 + rng.rand(n)
+    cls = rng.choice([2, 5, 105], n).astype(np.uint8)  # >31: 1.4-only class
+    gps = 1e5 + np.arange(n, dtype=np.float64)
+    ox, oy, oz = (float(np.floor(v.min())) for v in (x, y, z))
+    for fmt, pad in ((6, 0), (7, 6), (8, 8)):
+        recs = b"".join(
+            laz14._pack_point14(
+                int(round((x[i] - ox) / 0.01)), int(round((y[i] - oy) / 0.01)),
+                int(round((z[i] - oz) / 0.01)), 7, 2, 3, 1, i % 4,
+                int(cls[i]), 9, -42, 17, float(gps[i]),
+            ) + b"\xAB" * pad
+            for i in range(n)
+        )
+        hdr = bytearray(375)
+        hdr[0:4] = b"LASF"
+        hdr[24], hdr[25] = 1, 4
+        struct.pack_into("<HI", hdr, 94, 375, 375)
+        struct.pack_into("<IBH", hdr, 100, 0, fmt, 30 + pad)
+        struct.pack_into("<6d", hdr, 131, 0.01, 0.01, 0.01, ox, oy, oz)
+        struct.pack_into("<Q", hdr, 247, n)
+        h, x2, y2, z2, c2 = las.read_las(bytes(hdr) + recs)
+        assert np.allclose(x2, x, atol=0.006), fmt
+        assert np.array_equal(c2, cls)
+        assert np.array_equal(h["_gps_time"], gps)
+        assert np.array_equal(h["_channel"], np.arange(n) % 4)
+        assert np.array_equal(h["_returns"], np.full(n, 2))
+    hdr9 = bytearray(hdr)
+    struct.pack_into("<IBH", hdr9, 100, 0, 9, 30)
+    with pytest.raises(ValueError, match="wavepacket"):
+        las.read_las(bytes(hdr9) + recs)
