@@ -82,12 +82,12 @@ def _log(rec: dict) -> None:
         f.write(json.dumps(rec) + "\n")
 
 
-def _committed_q2() -> dict | None:
+def _committed(metric: str = "q2") -> dict | None:
     p = os.path.join(REPO, "BENCH", "scaling_committed.json")
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return json.load(f).get("q2")
+        return json.load(f).get(metric)
 
 
 def main() -> None:
@@ -95,11 +95,14 @@ def main() -> None:
     probe_floor = _arg("probe-floor", 0.62)
     interval = _arg("interval-min", 18.0)
     deadline = time.time() + 60.0 * _arg("deadline-min", 250.0)
+    # which committed metric gates the stop condition: q2 (PIP, the
+    # round-4 chase, met) or q1 (TIN — the round-5 chase)
+    metric = "q1" if "--metric=q1" in sys.argv else "q2"
 
     while time.time() < deadline:
-        q2 = _committed_q2()
-        if q2 and max(q2.get("eff_exec", 0), q2.get("eff_threads", 0)) >= target:
-            _log({"event": "done", "q2": q2})
+        row = _committed(metric)
+        if row and max(row.get("eff_exec", 0), row.get("eff_threads", 0)) >= target:
+            _log({"event": "done", "metric": metric, metric: row})
             return
         busy = _busy()
         if busy:
@@ -124,12 +127,12 @@ def main() -> None:
                         capture_output=True, text=True, timeout=3600,
                     ).returncode
                     _log({"event": "scaling_end", "rc": rc,
-                          "q2": _committed_q2()})
+                          "q1": _committed("q1"), "q2": _committed("q2")})
                     continue  # re-check the stop condition immediately
             except Exception as e:  # noqa: BLE001 — watcher must survive
                 _log({"event": "probe_error", "err": str(e)[:200]})
         time.sleep(60.0 * interval)
-    _log({"event": "deadline", "q2": _committed_q2()})
+    _log({"event": "deadline", "q1": _committed("q1"), "q2": _committed("q2")})
 
 
 if __name__ == "__main__":
