@@ -360,7 +360,8 @@ def ngram_jaccard_pairs_sql(dialect: str, threshold_x1000: int = 100) -> str:
     """
 
 
-def components_spark(spark, max_iters: int = 32, stats: dict | None = None):
+def components_spark(spark, max_iters: int = 32, stats: dict | None = None,
+                     truncate_every: int = 8):
     """Near-duplicate CLUSTERS: connected components over the LSH
     candidate-pair graph via iterative min-label propagation — the
     Pregel/BSP shape (each superstep: neighbor-min join + label update,
@@ -376,10 +377,12 @@ def components_spark(spark, max_iters: int = 32, stats: dict | None = None):
     there is no separate old-vs-new join + count job per iteration
     (at 10^12 edges that second job per superstep doubles the job
     count for pure control flow).  Labels persist per iteration and the
-    previous iteration unpersists — at 10^12 scale add a
-    localCheckpoint every ~5 supersteps to cut lineage (documented
-    here; at fixture scale the plan stays small).  The driver-side
-    loop is control flow only — per-row data never leaves the cluster.
+    previous iteration unpersists; every ``truncate_every`` supersteps
+    the labels are LAZILY localCheckpoint'ed instead (materialized by
+    the same aggregate job, so still one action per superstep), which
+    truncates the growing lineage chain — without it a deep graph's
+    plan re-nests every prior superstep.  The driver-side loop is
+    control flow only — per-row data never leaves the cluster.
 
     ``stats`` (optional dict) receives ``{"supersteps": k}`` so tests
     can bound the per-superstep job count via the status tracker.
@@ -407,15 +410,17 @@ def components_spark(spark, max_iters: int = 32, stats: dict | None = None):
             new_comp = F.least(
                 F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
             )
-            new_labels = (
-                labels.join(nbr, labels.doc_id == nbr.dst, "left")
-                .select(
-                    labels.doc_id,
-                    new_comp.alias("comp"),
-                    (new_comp < F.col("comp")).cast("int").alias("chg"),
-                )
-                .persist()
+            new_labels = labels.join(nbr, labels.doc_id == nbr.dst, "left").select(
+                labels.doc_id,
+                new_comp.alias("comp"),
+                (new_comp < F.col("comp")).cast("int").alias("chg"),
             )
+            if truncate_every and (it + 1) % truncate_every == 0:
+                # lineage truncation: lazy local checkpoint, materialized
+                # by the same aggregate job below (still one action)
+                new_labels = new_labels.localCheckpoint(eager=False)
+            else:
+                new_labels = new_labels.persist()
             # one job: materializes the cache AND returns the changed-count
             changed = new_labels.agg(F.sum("chg")).collect()[0][0]
             labels.unpersist()
