@@ -496,3 +496,27 @@ def test_las14_uncompressed_formats_6_to_8():
     struct.pack_into("<IBH", hdr9, 100, 0, 9, 30)
     with pytest.raises(ValueError, match="wavepacket"):
         las.read_las(bytes(hdr9) + recs)
+
+
+def test_laz14_through_distributed_source(spark, tmp_path):
+    """A written format-6 POINT14 file flows through the distributed
+    sources.read_las_points scan (read_laz dispatches by item type), so
+    the engine ingests LAS 1.4 clouds with zero caller changes."""
+    from lasutility_spark.engine import sources
+    from lasutility_spark.gridlib import laz14
+
+    rng = np.random.RandomState(23)
+    n = 400
+    x = 385000 + rng.rand(n) * 100
+    y = 6672000 + rng.rand(n) * 100
+    z = 100 + rng.rand(n)
+    cls = rng.choice([2, 5], n).astype(np.uint8)
+    p = str(tmp_path / "pts14.laz")
+    with open(p, "wb") as f:
+        f.write(laz14.write_laz14(x, y, z, cls, chunk_size=150))
+    df = sources.read_las_points(spark, [p])
+    rows = df.collect()
+    assert len(rows) == n
+    got_cls = sorted(r["cls"] for r in rows)
+    assert got_cls == sorted(cls.tolist())
+    assert abs(min(r["x"] for r in rows) - x.min()) < 0.01
