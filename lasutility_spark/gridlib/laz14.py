@@ -186,7 +186,8 @@ def read_laz14(data: bytes):
     out = {k: np.empty(n, dt) for k, dt in (
         ("X", np.int64), ("Y", np.int64), ("Z", np.int64),
         ("cls", np.uint8), ("ret", np.uint8), ("channel", np.uint8),
-        ("gps", np.float64),
+        ("gps", np.float64), ("intensity", np.uint16),
+        ("angle", np.int16), ("psid", np.uint16), ("user", np.uint8),
     )}
     i = 0
     for start, count in zip(starts, [min(chunk_size, n - k)
@@ -198,6 +199,10 @@ def read_laz14(data: bytes):
     header["_returns"] = out["ret"]
     header["_gps_time"] = out["gps"]
     header["_channel"] = out["channel"]
+    header["_intensity"] = out["intensity"]
+    header["_scan_angle"] = out["angle"]
+    header["_point_source"] = out["psid"]
+    header["_user_data"] = out["user"]
     return (
         header,
         out["X"] * sx + ox,
@@ -348,6 +353,10 @@ def _store(out, i: int, p: dict) -> None:
     out["ret"][i] = p["ret"]
     out["channel"][i] = p["channel"]
     out["gps"][i] = p["gps"]
+    out["intensity"][i] = p["intensity"]
+    out["angle"][i] = p["angle"]
+    out["psid"][i] = p["psid"]
+    out["user"][i] = p["user"]
 
 
 def write_laz14(
@@ -359,12 +368,18 @@ def write_laz14(
     channel: np.ndarray | None = None,
     scale: tuple[float, float, float] = (0.01, 0.01, 0.01),
     chunk_size: int = 50000,
+    intensity: np.ndarray | None = None,
+    scan_angle: np.ndarray | None = None,
+    point_source: np.ndarray | None = None,
+    user_data: np.ndarray | None = None,
 ) -> bytes:
     """Arrays -> LAS 1.4 point-format-6 LAZ bytes (layered compressor 3).
 
     Round-trips :func:`read_laz14` exactly (quantized coordinates,
-    classes, gps times, scanner channels).  ``channel`` (uint8 0-3)
-    exercises the 4-context machinery; defaults to all-zero."""
+    classes, gps times, scanner channels, and the optional
+    intensity / scan_angle / point_source / user_data fields).
+    ``channel`` (uint8 0-3) exercises the 4-context machinery;
+    all optional fields default to zero."""
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     z = np.asarray(z, np.float64)
@@ -374,6 +389,14 @@ def write_laz14(
            else np.asarray(gps_time, np.float64))
     chan = (np.zeros(n, np.uint8) if channel is None
             else np.asarray(channel, np.uint8))
+    inten = (np.zeros(n, np.uint16) if intensity is None
+             else np.asarray(intensity, np.uint16))
+    angle = (np.zeros(n, np.int16) if scan_angle is None
+             else np.asarray(scan_angle, np.int16))
+    psid = (np.zeros(n, np.uint16) if point_source is None
+            else np.asarray(point_source, np.uint16))
+    user = (np.zeros(n, np.uint8) if user_data is None
+            else np.asarray(user_data, np.uint8))
     if n and chan.max() > 3:
         raise ValueError("scanner channel must be 0-3")
     sx, sy, sz = scale
@@ -390,9 +413,10 @@ def write_laz14(
     def point(i: int) -> dict:
         return {
             "X": int(qx[i]), "Y": int(qy[i]), "Z": int(qz[i]),
-            "intensity": 0, "ret": 1, "nret": 1, "flags6": 0,
-            "channel": int(chan[i]), "cls": int(cls[i]), "user": 0,
-            "angle": 0, "psid": 0, "gps": float(gps[i]),
+            "intensity": int(inten[i]), "ret": 1, "nret": 1, "flags6": 0,
+            "channel": int(chan[i]), "cls": int(cls[i]),
+            "user": int(user[i]), "angle": int(angle[i]),
+            "psid": int(psid[i]), "gps": float(gps[i]),
         }
 
     chunks = bytearray()
