@@ -609,10 +609,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, (fn, tables) in _RELATIONAL.items():
         q[name] = _sql_query(fn, tables)
     q.update(_ROWS_ONLY)
-    assert len(q) <= 50, (
-        f"driver correctness harness caps at 50 queries; got {len(q)} — "
-        "consolidate before adding more (see registry comment)"
-    )
+    if len(q) > 50:  # ValueError, not assert: must survive python -O
+        raise ValueError(
+            f"driver correctness harness caps at 50 queries; got {len(q)} — "
+            "consolidate before adding more (see registry comment)"
+        )
     return q
 
 

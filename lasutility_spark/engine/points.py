@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 from .. import datagen
 from ..gridlib.png import png16_to_dem
 
-POINTS_SCHEMA = "x double, y double, z double, cls tinyint"
+POINTS_SCHEMA = "x double, y double, z double, cls smallint"
+# smallint, not tinyint: LAS 1.4 (point formats 6+) classification is the
+# full 0-255 byte, and a tinyint column wraps 128..255 to negatives
 DECODED_SCHEMA = (
     "image_id string, minx int, miny int, cellsize double, dem binary, "
     "w int, h int"
@@ -45,7 +47,7 @@ def _decode_points_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
                 "x": np.concatenate(out_x),
                 "y": np.concatenate(out_y),
                 "z": np.concatenate(out_z),
-                "cls": np.concatenate(out_c).astype(np.int8),
+                "cls": np.concatenate(out_c).astype(np.int16),
             }
         )
 

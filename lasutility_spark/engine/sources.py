@@ -44,7 +44,7 @@ def read_las_points(spark: SparkSession, paths: list[str]) -> DataFrame:
                 reader = read_laz_file if p.endswith(".laz") else read_las_file
                 _h, x, y, z, cls = reader(p)
                 yield pd.DataFrame(
-                    {"x": x, "y": y, "z": z, "cls": cls.astype("int8")}
+                    {"x": x, "y": y, "z": z, "cls": cls.astype("int16")}
                 )
 
     return path_df.mapInPandas(run, POINTS_SCHEMA)
@@ -105,7 +105,7 @@ def read_laz_points_chunked(spark: SparkSession, path: str) -> DataFrame:
                         "x": xs * sx + ox,
                         "y": ys * sy + oy,
                         "z": zs * sz + oz,
-                        "cls": cls.astype("int8"),
+                        "cls": cls.astype("int16"),
                     }
                 )
 

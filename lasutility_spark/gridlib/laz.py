@@ -769,7 +769,8 @@ def parse_laszip_vlr(data: bytes, header: dict) -> dict:
     raise ValueError("no laszip VLR found — not a LAZ file?")
 
 
-def laz_chunk_plan(data: bytes):
+def laz_chunk_plan(data: bytes, header: dict | None = None,
+                   vlr: dict | None = None):
     """LAZ bytes -> (header, vlr, chunks) where chunks is a list of
     ``(byte_start, point_count)`` — the per-chunk scan plan.  Each chunk
     is independently decodable (raw first point + fresh models), so this
@@ -780,10 +781,12 @@ def laz_chunk_plan(data: bytes):
     the point-data start, multi-chunk streams require a parsable chunk
     table and raise otherwise (the arithmetic decoder's byte lookahead
     makes sequential chunk-boundary recovery impossible)."""
-    header = read_header(data)
+    if header is None:
+        header = read_header(data)
     if not (header["point_format"] & 0x80):
         raise ValueError("not LAZ (compression bit clear) — use las.read_las")
-    vlr = parse_laszip_vlr(data, header)
+    if vlr is None:
+        vlr = parse_laszip_vlr(data, header)
     if vlr["compressor"] not in (1, 2):
         raise ValueError(f"unsupported laszip compressor {vlr['compressor']}")
     for itype, _isize, iver in vlr["items"]:
@@ -801,6 +804,16 @@ def laz_chunk_plan(data: bytes):
                 f"{_ITEM_NAMES.get(itype, itype)} v{iver} (POINT10/GPSTIME11/"
                 "RGB12/BYTE v2 supported — point formats 0-3)"
             )
+    # decode_laz_chunk interleaves items in the CANONICAL order
+    # (POINT10, GPSTIME11, RGB12, BYTE); a VLR listing them in any other
+    # order would silently decode garbage, so refuse it here
+    canon = [ITEM_POINT10, ITEM_GPSTIME11, ITEM_RGB12, ITEM_BYTE]
+    types = [t for t, _s, _v in vlr["items"]]
+    if types != [t for t in canon if t in types]:
+        raise ValueError(
+            f"laszip items out of canonical order {types} — the "
+            "interleaved decoder assumes POINT10, GPSTIME11, RGB12, BYTE"
+        )
     n = header["point_count"]
     pos = header["offset_to_points"]
     chunk_starts: list[int] | None = None
@@ -936,7 +949,7 @@ def read_laz(data: bytes):
         from .laz14 import read_laz14
 
         return read_laz14(data)
-    header, vlr, chunks = laz_chunk_plan(data)
+    header, vlr, chunks = laz_chunk_plan(data, header=h, vlr=vlr0)
     parts = [decode_laz_chunk(data, vlr, s, c) for s, c in chunks]
     xs = np.concatenate([p[0] for p in parts])
     ys = np.concatenate([p[1] for p in parts])

@@ -422,7 +422,9 @@ def components_spark(spark, max_iters: int = 32, stats: dict | None = None,
             else:
                 new_labels = new_labels.persist()
             # one job: materializes the cache AND returns the changed-count
-            changed = new_labels.agg(F.sum("chg")).collect()[0][0]
+            # "or 0": F.sum over ZERO rows is NULL/None (empty documents
+            # table), which must terminate, not spin to max_iters
+            changed = new_labels.agg(F.sum("chg")).collect()[0][0] or 0
             labels.unpersist()
             labels = new_labels
             if stats is not None:

@@ -12,7 +12,6 @@ Usage:  python scripts/driver_sweep.py [--sf-dir /root/testdata/sf0.01]
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import sys
 import time
@@ -21,21 +20,11 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from lasutility_spark.oracle_compare import rows_duck, rows_spark  # noqa: E402
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
-
-
-def _norm(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    return str(v)
 
 
 def main() -> int:
@@ -72,26 +61,21 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = queries[name](spark, args.sf_dir)
-            got = sorted(
-                tuple(_norm(row[c]) for c in sorted(sdf.columns))
-                for row in sdf.collect()
-            )
+            got = rows_spark(sdf)
             if name in oracles:
                 res = con.sql(oracles[name])
-                cols = res.columns
-                order = sorted(range(len(cols)), key=lambda i: cols[i])
-                want = sorted(
-                    tuple(_norm(r[i]) for i in order) for r in res.fetchall()
-                )
+                want = rows_duck(con, oracles[name])
                 ok = (
                     len(got) == len(want)
                     and sorted(c.lower() for c in sdf.columns)
-                    == sorted(c.lower() for c in cols)
+                    == sorted(c.lower() for c in res.columns)
                     and got == want
                 )
                 status = "OK" if ok else "MISMATCH"
             else:
-                ok = len(got) >= 0
+                # rows-only entries (none registered today) must at least
+                # produce output to count
+                ok = len(got) > 0
                 status = "OK(rows-only)" if ok else "EMPTY"
         except Exception as e:  # noqa: BLE001 - sweep must report, not die
             ok, status = False, f"ERROR {type(e).__name__}: {e}"

@@ -596,3 +596,20 @@ def test_packed_shuffle_measured_exchange_bytes(spark, images_dir):
         f"packed exchange {packed_bytes:.0f} B vs row {row_bytes:.0f} B — "
         "expected >=2x measured reduction"
     )
+
+
+def test_components_empty_documents_terminates(spark):
+    """Empty documents table: F.sum over zero rows is NULL — the folded
+    convergence check must coerce it to 0 and terminate on the first
+    superstep instead of spinning to max_iters and raising."""
+    from lasutility_spark.pipelines import dedup
+
+    spark.createDataFrame([], "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    stats: dict = {}
+    labels = dedup.components_spark(spark, stats=stats)
+    assert labels.count() == 0
+    assert stats["supersteps"] == 1
+    # restore the real view for any later test in the session
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .createOrReplaceTempView("documents")

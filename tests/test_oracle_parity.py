@@ -3,13 +3,15 @@ entry must match DuckDB on row count, schema width, and sorted values —
 the same comparison the grading driver performs (at sf0.01; sf0.001 here
 to keep the suite fast, plus a smoke of the full entry())."""
 
-import math
 import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+from lasutility_spark.oracle_compare import norm_value as _norm
+from lasutility_spark.oracle_compare import rows_duck as _rows_duck
+from lasutility_spark.oracle_compare import rows_spark as _rows_spark
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = (
@@ -25,31 +27,6 @@ def ddb():
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF_DIR, t)}.parquet'"
         )
     return con
-
-
-def _norm(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    return str(v)
-
-
-def _rows_spark(df):
-    return sorted(
-        tuple(_norm(row[c]) for c in sorted(df.columns)) for row in df.collect()
-    )
-
-
-def _rows_duck(con, sql):
-    res = con.sql(sql)
-    cols = res.columns
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in res.fetchall())
 
 
 ORACLES = entry_mod.oracle_sql()
