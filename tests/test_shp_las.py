@@ -520,3 +520,24 @@ def test_laz14_through_distributed_source(spark, tmp_path):
     got_cls = sorted(r["cls"] for r in rows)
     assert got_cls == sorted(cls.tolist())
     assert abs(min(r["x"] for r in rows) - x.min()) < 0.01
+
+
+def test_laz14_single_and_zero_point_files():
+    """Degenerate sizes: a 1-point file (raw-only chunk, all layers
+    empty) and a 0-point file (no chunks, empty chunk table) both
+    round-trip."""
+    from lasutility_spark.gridlib import laz14
+
+    blob = laz14.write_laz14(
+        np.array([385000.5]), np.array([6672000.5]), np.array([101.25]),
+        np.array([7], np.uint8), gps_time=np.array([123.5]),
+    )
+    h, x, y, z, c = laz14.read_laz14(blob)
+    assert len(x) == 1 and abs(x[0] - 385000.5) < 0.01
+    assert c[0] == 7 and h["_gps_time"][0] == 123.5
+
+    blob0 = laz14.write_laz14(
+        np.array([]), np.array([]), np.array([]), np.array([], np.uint8)
+    )
+    h0, x0, _y0, _z0, c0 = laz14.read_laz14(blob0)
+    assert len(x0) == 0 and len(c0) == 0 and h0["point_count"] == 0
