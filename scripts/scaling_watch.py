@@ -119,6 +119,13 @@ def _quiet_extras() -> None:
         else:
             _log({"event": "suite_quiet_kept", "total": best["value"],
                   "this_run": rec["value"]})
+        # the A/B and suite sidecars just changed AFTER --scaling wrote
+        # BASELINE.md — regenerate the report from sidecars (no benching)
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--report"],
+            capture_output=True, text=True, timeout=300,
+        )
+        _log({"event": "report_regenerated"})
     except Exception as e:  # noqa: BLE001 — extras must not kill the loop
         _log({"event": "quiet_extras_error", "err": str(e)[:200]})
 
