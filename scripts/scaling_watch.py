@@ -121,11 +121,16 @@ def _quiet_extras() -> None:
                   "this_run": rec["value"]})
         # the A/B and suite sidecars just changed AFTER --scaling wrote
         # BASELINE.md — regenerate the report from sidecars (no benching)
-        subprocess.run(
+        cp = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--report"],
             capture_output=True, text=True, timeout=300,
         )
-        _log({"event": "report_regenerated"})
+        try:
+            result = json.loads(cp.stdout.strip().splitlines()[-1])
+        except Exception:  # noqa: BLE001 — malformed output is the news
+            result = {"stdout": cp.stdout[-120:], "stderr": cp.stderr[-120:]}
+        _log({"event": "report_regenerated", "rc": cp.returncode,
+              "result": result})
     except Exception as e:  # noqa: BLE001 — extras must not kill the loop
         _log({"event": "quiet_extras_error", "err": str(e)[:200]})
 
