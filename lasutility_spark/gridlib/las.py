@@ -1,11 +1,15 @@
 """Plain (uncompressed) LAS point-cloud file reader/writer, numpy only.
 
-Implements the public ASPRS LAS 1.2-1.4 specification for the
-uncompressed point formats 0-3 — the reference's primary input path
-(LAS/LasZipNetReader.cs:54-89 via laszip; interface
+Implements the public ASPRS LAS 1.2-1.4 specification for ALL
+uncompressed point data record formats 0-10 — the reference's primary
+input path (LAS/LasZipNetReader.cs:54-89 via laszip; interface
 LAS/ILasFileReader.cs:6-18 exposes header min/max + a point stream of
-(x, y, z, classification)).  LAZ decompression needs the laszip codec
-and is out of scope; the .las layout is the same minus compression.
+(x, y, z, classification)).  Formats 4/5/9/10 carry a fixed 29-byte
+wave-packet descriptor block per point (spec: index u1, byte offset
+u8, packet size u4, return-point location f4, Xt/Yt/Zt f4) — the
+descriptor metadata is surfaced; the external waveform payload itself
+(EVLR / .wdp) is not interpreted.  LAZ decompression lives in
+laz.py/laz14.py; the .las layout is the same minus compression.
 
 Semantics pinned from the reference:
 
@@ -33,7 +37,9 @@ _CORE = np.dtype(
         ("scan_angle", "i1"), ("user_data", "u1"), ("point_source", "<u2"),
     ]
 )
-_FORMAT_SIZES = {0: 20, 1: 28, 2: 26, 3: 34}  # gps time +8, rgb +6
+# gps time +8, rgb +6, wave-packet descriptor +29 (formats 4 = 1+wave,
+# 5 = 3+wave)
+_FORMAT_SIZES = {0: 20, 1: 28, 2: 26, 3: 34, 4: 57, 5: 63}
 
 # LAS 1.4 POINT14 core (formats 6-10): X/Y/Z int32, intensity u2,
 # returns u1 (ret | nret<<4), flags u1 (class_flags | channel<<4 |
@@ -49,8 +55,18 @@ _CORE14 = np.dtype(
         ("gps_time", "<f8"),
     ]
 )
-# formats 7/8 append RGB (+6) / RGB+NIR (+8); 9/10 add wavepackets
-_FORMAT14_SIZES = {6: 30, 7: 36, 8: 38}
+# formats 7/8 append RGB (+6) / RGB+NIR (+8); 9 = 6+wave (+29),
+# 10 = 8+wave
+_FORMAT14_SIZES = {6: 30, 7: 36, 8: 38, 9: 59, 10: 67}
+
+# wave-packet descriptor block, last 29 bytes of a format-4/5/9/10
+# record (LAS 1.4 spec §2.5.5)
+_WAVE = np.dtype(
+    [
+        ("desc", "u1"), ("offset", "<u8"), ("size", "<u4"),
+        ("return_loc", "<f4"), ("xt", "<f4"), ("yt", "<f4"), ("zt", "<f4"),
+    ]
+)
 
 
 def read_header(data: bytes) -> dict:
@@ -99,17 +115,16 @@ def read_las(data: bytes):
             "compressed LAZ points (format bit 7 set) — use laz.read_laz"
         )
     fmt = h["point_format"] & 0x3F
-    if fmt in (9, 10):
-        raise ValueError(
-            f"point format {fmt} carries wavepackets — out of scope"
-        )
     if fmt not in _FORMAT_SIZES and fmt not in _FORMAT14_SIZES:
-        raise ValueError(f"unsupported point format {fmt} (0-3, 6-8 supported)")
+        raise ValueError(f"unsupported point format {fmt} (0-10 supported)")
     core_dt = _CORE14 if fmt >= 6 else _CORE
+    canon = _FORMAT14_SIZES[fmt] if fmt >= 6 else _FORMAT_SIZES[fmt]
     n = h["point_count"]
     rec = h["record_len"]
-    if rec < core_dt.itemsize:
-        raise ValueError(f"record length {rec} shorter than core layout")
+    if rec < canon:
+        raise ValueError(
+            f"record length {rec} shorter than format {fmt}'s {canon}"
+        )
     block = np.frombuffer(
         data, dtype=np.uint8, count=n * rec, offset=h["offset_to_points"]
     ).reshape(n, rec)
@@ -123,6 +138,18 @@ def read_las(data: bytes):
         h["_gps_time"] = core["gps_time"].copy()
         h["_returns"] = (core["returns"] & 0x0F).astype(np.uint8)
         h["_channel"] = ((core["flags"] >> 4) & 0x03).astype(np.uint8)
+    elif fmt in (1, 3, 4, 5):  # legacy formats with GPS time at byte 20
+        h["_gps_time"] = (
+            np.ascontiguousarray(block[:, 20:28]).view("<f8").reshape(n)
+        )
+    if fmt in (4, 5, 9, 10):
+        woff = canon - _WAVE.itemsize
+        wav = (
+            np.ascontiguousarray(block[:, woff:canon]).view(_WAVE).reshape(n)
+        )
+        h["_wave_desc"] = wav["desc"].copy()
+        h["_wave_size"] = wav["size"].copy()
+        h["_wave_return_loc"] = wav["return_loc"].copy()
     return h, x, y, z, core["classification"].copy()
 
 

@@ -458,8 +458,8 @@ def test_laz_extra_bytes_roundtrip():
 
 def test_las14_uncompressed_formats_6_to_8():
     """Uncompressed LAS 1.4 point formats 6-8 read through read_las:
-    classification at byte 16, gps/channel/returns attached; formats
-    9/10 (wavepackets) refuse."""
+    classification at byte 16, gps/channel/returns attached; an
+    unknown format id refuses."""
     from lasutility_spark.gridlib import las, laz14
 
     rng = np.random.RandomState(5)
@@ -492,10 +492,87 @@ def test_las14_uncompressed_formats_6_to_8():
         assert np.array_equal(h["_gps_time"], gps)
         assert np.array_equal(h["_channel"], np.arange(n) % 4)
         assert np.array_equal(h["_returns"], np.full(n, 2))
-    hdr9 = bytearray(hdr)
-    struct.pack_into("<IBH", hdr9, 100, 0, 9, 30)
-    with pytest.raises(ValueError, match="wavepacket"):
-        las.read_las(bytes(hdr9) + recs)
+    hdr11 = bytearray(hdr)
+    struct.pack_into("<IBH", hdr11, 100, 0, 11, 30)
+    with pytest.raises(ValueError, match="unsupported point format"):
+        las.read_las(bytes(hdr11) + recs)
+
+
+def test_las_uncompressed_waveform_formats_4_5_9_10():
+    """Uncompressed waveform formats: 4 (= 1 + wave), 5 (= 3 + wave),
+    9 (= 6 + wave), 10 (= 8 + wave).  Coordinates/classification/GPS
+    decode as in the base format and the 29-byte wave-packet
+    descriptor trailer (LAS 1.4 spec: desc u1, offset u8, size u4,
+    return-loc f4, Xt/Yt/Zt f4) is surfaced; the external waveform
+    payload is out of scope by design."""
+    from lasutility_spark.gridlib import las, laz14
+
+    rng = np.random.RandomState(9)
+    n = 60
+    x = 385000 + rng.rand(n) * 100
+    y = 6672000 + rng.rand(n) * 100
+    z = 100 + rng.rand(n)
+    cls = rng.choice([2, 5, 9], n).astype(np.uint8)
+    gps = 2e5 + np.arange(n, dtype=np.float64)
+    wave_desc = (rng.randint(1, 4, n)).astype(np.uint8)
+    wave_size = (100 + rng.randint(0, 50, n)).astype(np.uint32)
+    wave_loc = rng.rand(n).astype(np.float32)
+    ox, oy, oz = (float(np.floor(v.min())) for v in (x, y, z))
+
+    def wave_block(i):
+        return struct.pack(
+            "<BQIf3f", int(wave_desc[i]), 1000 + i, int(wave_size[i]),
+            float(wave_loc[i]), 0.1, 0.2, 0.3,
+        )
+
+    def legacy_core(i):
+        return struct.pack(
+            "<3iHBBbBH",
+            int(round((x[i] - ox) / 0.01)), int(round((y[i] - oy) / 0.01)),
+            int(round((z[i] - oz) / 0.01)), 30, 0x11, int(cls[i]), -5, 0, 1,
+        )
+
+    cases = {
+        # fmt: (version minor, per-point record bytes)
+        4: (2, [legacy_core(i) + struct.pack("<d", gps[i]) + wave_block(i)
+                for i in range(n)]),
+        5: (2, [legacy_core(i) + struct.pack("<d", gps[i])
+                + struct.pack("<3H", 1, 2, 3) + wave_block(i)
+                for i in range(n)]),
+        9: (4, [laz14._pack_point14(
+                int(round((x[i] - ox) / 0.01)), int(round((y[i] - oy) / 0.01)),
+                int(round((z[i] - oz) / 0.01)), 30, 1, 1, 0, 0,
+                int(cls[i]), 0, -50, 1, float(gps[i])) + wave_block(i)
+                for i in range(n)]),
+        10: (4, [laz14._pack_point14(
+                int(round((x[i] - ox) / 0.01)), int(round((y[i] - oy) / 0.01)),
+                int(round((z[i] - oz) / 0.01)), 30, 1, 1, 0, 0,
+                int(cls[i]), 0, -50, 1, float(gps[i]))
+                + struct.pack("<4H", 1, 2, 3, 4) + wave_block(i)
+                for i in range(n)]),
+    }
+    for fmt, (minor, recs) in cases.items():
+        rec_len = len(recs[0])
+        assert rec_len == (las._FORMAT14_SIZES.get(fmt)
+                           or las._FORMAT_SIZES[fmt])
+        hdr = bytearray(375 if minor == 4 else 227)
+        hdr[0:4] = b"LASF"
+        hdr[24], hdr[25] = 1, minor
+        struct.pack_into("<HI", hdr, 94, len(hdr), len(hdr))
+        struct.pack_into("<IBH", hdr, 100, 0, fmt, rec_len)
+        struct.pack_into("<6d", hdr, 131, 0.01, 0.01, 0.01, ox, oy, oz)
+        if minor == 4:
+            struct.pack_into("<Q", hdr, 247, n)
+        else:
+            struct.pack_into("<I", hdr, 107, n)
+        h, x2, y2, z2, c2 = las.read_las(bytes(hdr) + b"".join(recs))
+        assert np.allclose(x2, x, atol=0.006), fmt
+        assert np.allclose(z2, z, atol=0.006), fmt
+        assert np.array_equal(c2, cls), fmt
+        assert np.array_equal(h["_gps_time"], gps), fmt
+        assert np.array_equal(h["_wave_desc"], wave_desc), fmt
+        assert np.array_equal(h["_wave_size"], wave_size), fmt
+        assert np.array_equal(h["_wave_return_loc"], wave_loc), fmt
 
 
 def test_laz14_through_distributed_source(spark, tmp_path):
