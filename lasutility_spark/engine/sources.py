@@ -97,8 +97,8 @@ def read_laz_points_chunked(spark: SparkSession, path: str) -> DataFrame:
                 if raw is None:
                     with open(p, "rb") as f:
                         raw = cache[p] = f.read()
-                xs, ys, zs, cls, _ret, _gps, _rgb, _extra = decode_laz_chunk(
-                    raw, vlr, int(s), int(c)
+                xs, ys, zs, cls, _ret, _gps, _rgb, _extra, _wave = (
+                    decode_laz_chunk(raw, vlr, int(s), int(c))
                 )
                 yield pd.DataFrame(
                     {

@@ -34,11 +34,14 @@ fixture's own table), so real multi-chunk laszip files locate their
 chunk boundaries correctly.
 
 Round 4 added the RGB12 v2 item both directions (point formats 2/3);
-round 5 added the BYTE v2 (extra-bytes) item both directions and the
-LAS 1.4 POINT14 layered path in :mod:`.laz14` (:func:`read_laz`
-dispatches item types >= 10 there).  Remaining scope boundary:
-WAVEPACKET items and record version 1 raise ValueError with a clear
-message.
+round 5 added the BYTE v2 (extra-bytes) item, the WAVEPACKET13 v1
+item (point formats 4/5 — both directions, following the public
+laszip v1 scheme; round-trip-pinned since the reference tree has no
+wavepacket fixture), and the LAS 1.4 POINT14 layered path in
+:mod:`.laz14` (:func:`read_laz` dispatches item types >= 10 there).
+Remaining scope boundary: the LAS 1.4 layered WAVEPACKET14 item and
+record-version-1 variants of the classic items raise ValueError with
+a clear message.
 """
 
 from __future__ import annotations
@@ -224,6 +227,11 @@ class ArithmeticDecoder:
         low = self.read_short()
         high = self.read_short()
         return (high << 16) | low
+
+    def read_int64(self) -> int:
+        low = self.read_int()
+        high = self.read_int()
+        return (high << 32) | low
 
 
 class IntegerCompressor:
@@ -728,11 +736,68 @@ class Byte2Writer:
 # --- container level -------------------------------------------------------
 
 LASZIP_VLR_RECORD_ID = 22204
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+class Wavepacket13V1Reader:
+    """WAVEPACKET13 item, record version 1: the 29-byte wave-packet
+    descriptor block of point formats 4/5 (index u1, byte offset u64,
+    packet size u4, return-point location f4, Xt/Yt/Zt f4).  Follows
+    the public laszip v1 item scheme (lasreaditemcompressed_v1.cpp):
+    descriptor index through a 256-symbol model; byte offset through a
+    4-symbol difference classifier whose context is the PREVIOUS
+    point's symbol (0 = same offset, 1 = last offset + last size,
+    2 = i32 delta via an integer compressor, 3 = raw 64-bit); packet
+    size and the four floats (compressed as raw i32 bit patterns)
+    through 32-bit integer compressors.  The reference tree has no
+    wavepacket fixture, so this item is pinned by round-trip rather
+    than native byte parity."""
+
+    def __init__(self, dec: ArithmeticDecoder, first: bytes) -> None:
+        self.dec = dec
+        self.desc, self.offset, self.size = struct.unpack("<BQI", first[:13])
+        self.ret, self.xt, self.yt, self.zt = struct.unpack(
+            "<4i", first[13:29]
+        )
+        self.last_diff_32 = 0
+        self.sym_last = 0
+        self.m_index = ArithmeticModel(256)
+        self.m_offset_diff = [ArithmeticModel(4) for _ in range(4)]
+        self.ic_offset = IntegerCompressor(dec, 32)
+        self.ic_size = IntegerCompressor(dec, 32)
+        self.ic_ret = IntegerCompressor(dec, 32)
+        self.ic_xyz = IntegerCompressor(dec, 32, 3)
+
+    def read(self) -> bytes:
+        dec = self.dec
+        desc = dec.decode_symbol(self.m_index)
+        sym = dec.decode_symbol(self.m_offset_diff[self.sym_last])
+        self.sym_last = sym
+        if sym == 0:
+            offset = self.offset
+        elif sym == 1:
+            offset = (self.offset + self.size) & _U64
+        elif sym == 2:
+            self.last_diff_32 = self.ic_offset.decompress(self.last_diff_32)
+            offset = (self.offset + self.last_diff_32) & _U64
+        else:
+            offset = dec.read_int64()
+        size = self.ic_size.decompress(_i32(self.size)) & _U32
+        ret = self.ic_ret.decompress(self.ret)
+        xt = self.ic_xyz.decompress(self.xt, 0)
+        yt = self.ic_xyz.decompress(self.yt, 1)
+        zt = self.ic_xyz.decompress(self.zt, 2)
+        self.desc, self.offset, self.size = desc, offset, size
+        self.ret, self.xt, self.yt, self.zt = ret, xt, yt, zt
+        return struct.pack("<BQI4i", desc, offset, size, ret, xt, yt, zt)
+
+
 ITEM_BYTE = 0
 ITEM_POINT14 = 10  # layered family — handled in .laz14
 ITEM_POINT10 = 6
 ITEM_GPSTIME11 = 7
 ITEM_RGB12 = 8
+ITEM_WAVEPACKET13 = 9
 _ITEM_NAMES = {0: "BYTE", 1: "SHORT", 2: "INT", 3: "LONG", 4: "FLOAT",
                5: "DOUBLE", 6: "POINT10", 7: "GPSTIME11", 8: "RGB12",
                9: "WAVEPACKET13", 10: "POINT14", 11: "RGB14",
@@ -797,22 +862,26 @@ def laz_chunk_plan(data: bytes, header: dict | None = None,
             )
         if (itype, iver) not in (
             (ITEM_POINT10, 2), (ITEM_GPSTIME11, 2), (ITEM_RGB12, 2),
-            (ITEM_BYTE, 2),
+            (ITEM_WAVEPACKET13, 1), (ITEM_BYTE, 2),
         ):
             raise ValueError(
                 "unsupported laszip item "
                 f"{_ITEM_NAMES.get(itype, itype)} v{iver} (POINT10/GPSTIME11/"
-                "RGB12/BYTE v2 supported — point formats 0-3)"
+                "RGB12 v2, WAVEPACKET13 v1, BYTE v2 supported — point "
+                "formats 0-5)"
             )
     # decode_laz_chunk interleaves items in the CANONICAL order
-    # (POINT10, GPSTIME11, RGB12, BYTE); a VLR listing them in any other
-    # order would silently decode garbage, so refuse it here
-    canon = [ITEM_POINT10, ITEM_GPSTIME11, ITEM_RGB12, ITEM_BYTE]
+    # (POINT10, GPSTIME11, RGB12, WAVEPACKET13, BYTE); a VLR listing
+    # them in any other order would silently decode garbage, so refuse
+    # it here
+    canon = [ITEM_POINT10, ITEM_GPSTIME11, ITEM_RGB12, ITEM_WAVEPACKET13,
+             ITEM_BYTE]
     types = [t for t, _s, _v in vlr["items"]]
     if types != [t for t in canon if t in types]:
         raise ValueError(
             f"laszip items out of canonical order {types} — the "
-            "interleaved decoder assumes POINT10, GPSTIME11, RGB12, BYTE"
+            "interleaved decoder assumes POINT10, GPSTIME11, RGB12, "
+            "WAVEPACKET13, BYTE"
         )
     n = header["point_count"]
     pos = header["offset_to_points"]
@@ -872,15 +941,18 @@ def laz_chunk_plan(data: bytes, header: dict | None = None,
 
 def decode_laz_chunk(data: bytes, vlr: dict, start: int, count: int):
     """One chunk -> (X, Y, Z int64 raw-quantized, cls, returns, gps, rgb,
-    extra).
+    extra, wave).
 
     ``rgb`` is an (n, 3) uint16 array for point formats 2/3 (RGB12 item
     present), else None; ``extra`` is an (n, k) uint8 array when a BYTE
-    (extra-bytes) item of width k is present, else None.  Items decode
+    (extra-bytes) item of width k is present, else None; ``wave`` is an
+    (n, 29) uint8 array of raw wave-packet descriptor blocks for point
+    formats 4/5 (WAVEPACKET13 item present), else None.  Items decode
     interleaved per point in VLR item order, sharing one arithmetic
     decoder — the laszip stream layout."""
     has_gps = any(t == ITEM_GPSTIME11 for t, _s, _v in vlr["items"])
     has_rgb = any(t == ITEM_RGB12 for t, _s, _v in vlr["items"])
+    has_wave = any(t == ITEM_WAVEPACKET13 for t, _s, _v in vlr["items"])
     n_extra = next(
         (s for t, s, _v in vlr["items"] if t == ITEM_BYTE), 0
     )
@@ -891,6 +963,7 @@ def decode_laz_chunk(data: bytes, vlr: dict, start: int, count: int):
     rets = np.empty(count, np.uint8)
     gps = np.zeros(count, np.float64)
     rgb = np.zeros((count, 3), np.uint16) if has_rgb else None
+    wave = np.zeros((count, 29), np.uint8) if has_wave else None
     extra = np.zeros((count, n_extra), np.uint8) if n_extra else None
     pos = start
     raw10 = data[pos : pos + 20]
@@ -903,6 +976,10 @@ def decode_laz_chunk(data: bytes, vlr: dict, start: int, count: int):
     if has_rgb:
         rawrgb = data[pos : pos + 6]
         pos += 6
+    rawwave = b""
+    if has_wave:
+        rawwave = data[pos : pos + 29]
+        pos += 29
     rawextra = b""
     if n_extra:
         rawextra = data[pos : pos + n_extra]
@@ -911,6 +988,7 @@ def decode_laz_chunk(data: bytes, vlr: dict, start: int, count: int):
     p10 = Point10V2Reader(dec, raw10)
     gpsr = GpsTime11V2Reader(dec, rawgps) if has_gps else None
     rgbr = Rgb12V2Reader(dec, rawrgb) if has_rgb else None
+    wavr = Wavepacket13V1Reader(dec, rawwave) if has_wave else None
     extr = Byte2Reader(dec, rawextra) if n_extra else None
     xs[0], ys[0], zs[0] = p10.x, p10.y, p10.z
     cls[0] = p10.classification
@@ -919,6 +997,8 @@ def decode_laz_chunk(data: bytes, vlr: dict, start: int, count: int):
         gps[0] = struct.unpack("<d", rawgps)[0]
     if rgb is not None:
         rgb[0] = struct.unpack("<3H", rawrgb)
+    if wave is not None:
+        wave[0] = np.frombuffer(rawwave, np.uint8)
     if extra is not None:
         extra[0] = np.frombuffer(rawextra, np.uint8)
     dec.init()
@@ -931,9 +1011,11 @@ def decode_laz_chunk(data: bytes, vlr: dict, start: int, count: int):
             gps[j] = gpsr.read()
         if rgbr is not None:
             rgb[j] = rgbr.read()
+        if wavr is not None:
+            wave[j] = np.frombuffer(wavr.read(), np.uint8)
         if extr is not None:
             extra[j] = np.frombuffer(extr.read(), np.uint8)
-    return xs, ys, zs, cls, rets, gps, rgb, extra
+    return xs, ys, zs, cls, rets, gps, rgb, extra, wave
 
 
 def read_laz(data: bytes):
@@ -963,6 +1045,16 @@ def read_laz(data: bytes):
         header["_rgb"] = np.concatenate([p[6] for p in parts])
     if parts[0][7] is not None:
         header["_extra"] = np.concatenate([p[7] for p in parts])
+    if parts[0][8] is not None:
+        # same surface as las.read_las on uncompressed formats 4/5/9/10
+        wave = np.ascontiguousarray(np.concatenate([p[8] for p in parts]))
+        header["_wave_desc"] = wave[:, 0].copy()
+        header["_wave_size"] = (
+            np.ascontiguousarray(wave[:, 9:13]).view("<u4").reshape(-1)
+        )
+        header["_wave_return_loc"] = (
+            np.ascontiguousarray(wave[:, 13:17]).view("<f4").reshape(-1)
+        )
     return header, xs * sx + ox, ys * sy + oy, zs * sz + oz, cls
 
 
@@ -1067,6 +1159,10 @@ class ArithmeticEncoder:
     def write_int(self, v: int) -> None:
         self.write_short(v & 0xFFFF)
         self.write_short((v >> 16) & 0xFFFF)
+
+    def write_int64(self, v: int) -> None:
+        self.write_int(v & _U32)
+        self.write_int((v >> 32) & _U32)
 
     def done(self) -> bytes:
         init_base = self.base
@@ -1235,6 +1331,56 @@ class Point10V2Writer:
         self.z = z
 
 
+class Wavepacket13V1Writer:
+    """Mirror of :class:`Wavepacket13V1Reader` (same models/state; the
+    offset classifier picks the cheapest representation the reader can
+    reconstruct: same / last+size / i32 delta / raw 64-bit)."""
+
+    def __init__(self, enc: "ArithmeticEncoder", first: bytes) -> None:
+        self.enc = enc
+        self.desc, self.offset, self.size = struct.unpack("<BQI", first[:13])
+        self.ret, self.xt, self.yt, self.zt = struct.unpack(
+            "<4i", first[13:29]
+        )
+        self.last_diff_32 = 0
+        self.sym_last = 0
+        self.m_index = ArithmeticModel(256)
+        self.m_offset_diff = [ArithmeticModel(4) for _ in range(4)]
+        self.ic_offset = IntegerCompressorEnc(enc, 32)
+        self.ic_size = IntegerCompressorEnc(enc, 32)
+        self.ic_ret = IntegerCompressorEnc(enc, 32)
+        self.ic_xyz = IntegerCompressorEnc(enc, 32, 3)
+
+    def write(self, cur: bytes) -> None:
+        desc, offset, size = struct.unpack("<BQI", cur[:13])
+        ret, xt, yt, zt = struct.unpack("<4i", cur[13:29])
+        enc = self.enc
+        enc.encode_symbol(self.m_index, desc)
+        diff = offset - self.offset
+        if offset == self.offset:
+            sym = 0
+        elif offset == (self.offset + self.size) & _U64:
+            sym = 1
+        elif -0x80000000 <= diff <= 0x7FFFFFFF:
+            sym = 2
+        else:
+            sym = 3
+        enc.encode_symbol(self.m_offset_diff[self.sym_last], sym)
+        self.sym_last = sym
+        if sym == 2:
+            self.ic_offset.compress(self.last_diff_32, diff)
+            self.last_diff_32 = diff
+        elif sym == 3:
+            enc.write_int64(offset)
+        self.ic_size.compress(_i32(self.size), _i32(size))
+        self.ic_ret.compress(self.ret, ret)
+        self.ic_xyz.compress(self.xt, xt, 0)
+        self.ic_xyz.compress(self.yt, yt, 1)
+        self.ic_xyz.compress(self.zt, zt, 2)
+        self.desc, self.offset, self.size = desc, offset, size
+        self.ret, self.xt, self.yt, self.zt = ret, xt, yt, zt
+
+
 class GpsTime11V2Writer:
     def __init__(self, enc: ArithmeticEncoder, first: bytes) -> None:
         self.enc = enc
@@ -1384,13 +1530,17 @@ def write_laz(
     chunk_size: int = 50000,
     rgb: np.ndarray | None = None,
     extra_bytes: np.ndarray | None = None,
+    wavepacket: np.ndarray | None = None,
 ) -> bytes:
-    """Arrays -> compressed LAZ bytes (LAS 1.2 header, point format 0-3
+    """Arrays -> compressed LAZ bytes (LAS 1.2 header, point format 0-5
     with the compression bit, laszip VLR, compressor-2 chunked stream).
     ``rgb`` is an (n, 3) uint16 array -> point format 2 (or 3 with
     ``gps_time``) carrying the RGB12 v2 item.  ``extra_bytes`` is an
     (n, k) uint8 array -> a BYTE v2 item of width k appended to every
-    record (the LAS extra-bytes mechanism).
+    record (the LAS extra-bytes mechanism).  ``wavepacket`` is an
+    (n, 29) uint8 array of raw wave-packet descriptor blocks -> point
+    format 4 (or 5 with ``rgb``) carrying the WAVEPACKET13 v1 item;
+    requires ``gps_time`` (formats 4/5 both include GPS time).
 
     Round-trips :func:`read_laz` exactly (quantized int coordinates,
     classes, gps times).  The trailing chunk table uses the
@@ -1408,8 +1558,19 @@ def write_laz(
     if extra_bytes is not None:
         extra_bytes = np.asarray(extra_bytes, np.uint8).reshape(n, -1)
         n_extra = extra_bytes.shape[1]
-    fmt = (1 if has_gps else 0) | (2 if has_rgb else 0)
-    rec_len = 20 + (8 if has_gps else 0) + (6 if has_rgb else 0) + n_extra
+    has_wave = wavepacket is not None
+    if has_wave:
+        if not has_gps:
+            raise ValueError(
+                "wavepacket requires gps_time (point formats 4/5 both "
+                "carry GPS time)"
+            )
+        wavepacket = np.asarray(wavepacket, np.uint8).reshape(n, 29)
+        fmt = 5 if has_rgb else 4
+    else:
+        fmt = (1 if has_gps else 0) | (2 if has_rgb else 0)
+    rec_len = (20 + (8 if has_gps else 0) + (6 if has_rgb else 0)
+               + (29 if has_wave else 0) + n_extra)
     if has_rgb:
         rgb = np.asarray(rgb, np.uint16).reshape(n, 3)
     sx, sy, sz = scale
@@ -1443,6 +1604,9 @@ def write_laz(
         if has_rgb:
             c0 = struct.pack("<3H", *(int(v) for v in rgb[i]))
             chunks += c0
+        if has_wave:
+            w0 = wavepacket[i].tobytes()
+            chunks += w0
         if n_extra:
             e0 = extra_bytes[i].tobytes()
             chunks += e0
@@ -1450,6 +1614,7 @@ def write_laz(
         p10 = Point10V2Writer(enc, raw10(i))
         gpsw = GpsTime11V2Writer(enc, g0) if has_gps else None
         rgbw = Rgb12V2Writer(enc, c0) if has_rgb else None
+        wavw = Wavepacket13V1Writer(enc, w0) if has_wave else None
         extw = Byte2Writer(enc, e0) if n_extra else None
         for j in range(i + 1, i + count):
             p10.write(
@@ -1462,6 +1627,8 @@ def write_laz(
                 rgbw.write(
                     (int(rgb[j, 0]), int(rgb[j, 1]), int(rgb[j, 2]))
                 )
+            if wavw is not None:
+                wavw.write(wavepacket[j].tobytes())
             if extw is not None:
                 extw.write(extra_bytes[j].tobytes())
         chunks += enc.done()
@@ -1474,6 +1641,8 @@ def write_laz(
         items.append((ITEM_GPSTIME11, 8, 2))
     if has_rgb:
         items.append((ITEM_RGB12, 6, 2))
+    if has_wave:
+        items.append((ITEM_WAVEPACKET13, 29, 1))
     if n_extra:
         items.append((ITEM_BYTE, n_extra, 2))
     vlr_body = struct.pack(

@@ -575,6 +575,93 @@ def test_las_uncompressed_waveform_formats_4_5_9_10():
         assert np.array_equal(h["_wave_return_loc"], wave_loc), fmt
 
 
+def test_laz_wavepacket13_roundtrip_formats_4_5():
+    """WAVEPACKET13 v1 item (compressed point formats 4/5): the
+    29-byte descriptor block rides every record both directions and
+    round-trips exactly, multi-chunk, exercising all four offset
+    classifier symbols (same / last+size / i32-delta / raw 64-bit).
+    Read surface matches las.read_las on uncompressed 4/5."""
+    from lasutility_spark.gridlib import laz
+
+    rng = np.random.RandomState(17)
+    n = 2000
+    x = 385000 + rng.rand(n) * 500
+    y = 6672000 + rng.rand(n) * 500
+    z = 100 + rng.rand(n) * 30
+    cls = rng.choice([2, 5, 6], n).astype(np.uint8)
+    gps = 1e5 + np.cumsum(rng.rand(n))
+    desc = rng.randint(0, 3, n).astype(np.uint8)
+    size = (200 + rng.randint(0, 100, n)).astype(np.uint32)
+    off = np.zeros(n, np.uint64)
+    cur = 10000
+    for i in range(n):
+        r = i % 7
+        if r in (1, 2):
+            cur += int(size[i - 1])        # sequential -> sym 1
+        elif r == 3:
+            cur += 123456                  # small delta -> sym 2
+        elif r == 4:
+            cur = int(rng.randint(0, 2**31)) + (7 << 33)  # jump -> sym 3
+        elif r != 0:                       # r == 0: same offset -> sym 0
+            cur += 64
+        off[i] = cur
+    wave = np.zeros((n, 29), np.uint8)
+    for i in range(n):
+        wave[i] = np.frombuffer(
+            struct.pack("<BQIf3f", int(desc[i]), int(off[i]), int(size[i]),
+                        float(rng.rand()), 0.1, 0.2, 0.3), np.uint8,
+        )
+    for use_rgb in (False, True):
+        rgb = (rng.randint(0, 65536, (n, 3)).astype(np.uint16)
+               if use_rgb else None)
+        blob = laz.write_laz(x, y, z, cls, gps_time=gps, chunk_size=700,
+                             rgb=rgb, wavepacket=wave)
+        h, x2, _y2, _z2, c2 = laz.read_laz(blob)
+        assert (h["point_format"] & 0x3F) == (5 if use_rgb else 4)
+        assert np.allclose(x2, x, atol=0.006)
+        assert np.array_equal(c2, cls)
+        assert np.allclose(h["_gps_time"], gps)
+        assert np.array_equal(h["_wave_desc"], desc)
+        assert np.array_equal(h["_wave_size"], size)
+        if use_rgb:
+            assert np.array_equal(h["_rgb"], rgb)
+        hdr, vlr, chunks = laz.laz_chunk_plan(blob)
+        assert len(chunks) == 3
+        got = np.concatenate(
+            [laz.decode_laz_chunk(blob, vlr, s, c)[8] for s, c in chunks]
+        )
+        assert np.array_equal(got, wave)
+    with pytest.raises(ValueError, match="requires gps_time"):
+        laz.write_laz(x, y, z, cls, wavepacket=wave)
+
+
+def test_laz_wavepacket_through_distributed_source(spark, tmp_path):
+    """A written format-4 (waveform) LAZ flows through the distributed
+    sources.read_las_points scan unchanged — wave metadata rides the
+    stream, coordinates/classes land in the DataFrame."""
+    from lasutility_spark.engine import sources
+    from lasutility_spark.gridlib import laz
+
+    rng = np.random.RandomState(29)
+    n = 900
+    x = 385000 + rng.rand(n) * 100
+    y = 6672000 + rng.rand(n) * 100
+    z = 100 + rng.rand(n)
+    cls = rng.choice([2, 5], n).astype(np.uint8)
+    wave = rng.randint(0, 256, (n, 29)).astype(np.uint8)
+    p = str(tmp_path / "wave4.laz")
+    with open(p, "wb") as f:
+        f.write(laz.write_laz(
+            x, y, z, cls, gps_time=1e5 + np.arange(n, dtype=np.float64),
+            wavepacket=wave, chunk_size=300,
+        ))
+    df = sources.read_las_points(spark, [p])
+    rows = df.collect()
+    assert len(rows) == n
+    assert sorted(r["cls"] for r in rows) == sorted(cls.tolist())
+    assert abs(min(r["x"] for r in rows) - x.min()) < 0.01
+
+
 def test_laz14_through_distributed_source(spark, tmp_path):
     """A written format-6 POINT14 file flows through the distributed
     sources.read_las_points scan (read_laz dispatches by item type), so
