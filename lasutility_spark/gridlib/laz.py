@@ -870,6 +870,18 @@ def laz_chunk_plan(data: bytes, header: dict | None = None,
                 "RGB12 v2, WAVEPACKET13 v1, BYTE v2 supported — point "
                 "formats 0-5)"
             )
+        # fixed item sizes: a corrupt VLR size would shift every later
+        # item's raw first-point bytes and silently decode garbage
+        # (BYTE's size IS the extra-bytes width, any positive value)
+        fixed = {ITEM_POINT10: 20, ITEM_GPSTIME11: 8, ITEM_RGB12: 6,
+                 ITEM_WAVEPACKET13: 29}
+        if itype in fixed and _isize != fixed[itype]:
+            raise ValueError(
+                f"laszip item {_ITEM_NAMES.get(itype, itype)} declares "
+                f"size {_isize}, spec size is {fixed[itype]}"
+            )
+        if itype == ITEM_BYTE and _isize <= 0:
+            raise ValueError("laszip BYTE item declares non-positive size")
     # decode_laz_chunk interleaves items in the CANONICAL order
     # (POINT10, GPSTIME11, RGB12, WAVEPACKET13, BYTE); a VLR listing
     # them in any other order would silently decode garbage, so refuse
@@ -1653,12 +1665,20 @@ def write_laz(
     vlr = struct.pack("<H16sHH", 0, b"laszip encoded\0\0", 22204,
                       len(vlr_body)) + b"\0" * 32 + vlr_body
 
-    header_size = 227
+    # formats 4/5 are defined from LAS 1.3 (235-byte header whose last
+    # field is the u64 start-of-waveform-data-packet-record; 0 = no
+    # internal waveform payload) — a 1.2 header declaring format 4/5
+    # would fail spec-validating tools
+    header_size = 235 if has_wave else 227
+    minor = 3 if has_wave else 2
     offset_to_points = header_size + len(vlr)
     hdr = bytearray(header_size)
     hdr[0:4] = b"LASF"
     hdr[24] = 1
-    hdr[25] = 2
+    hdr[25] = minor
+    if has_wave:
+        # global encoding bit 2: waveform packets external (none stored)
+        struct.pack_into("<H", hdr, 6, 0x0004)
     hdr[26:36] = b"lasutility"
     struct.pack_into("<HI", hdr, 94, header_size, offset_to_points)
     struct.pack_into("<IBH", hdr, 100, 1, fmt | 0x80, rec_len)

@@ -618,6 +618,9 @@ def test_laz_wavepacket13_roundtrip_formats_4_5():
                              rgb=rgb, wavepacket=wave)
         h, x2, _y2, _z2, c2 = laz.read_laz(blob)
         assert (h["point_format"] & 0x3F) == (5 if use_rgb else 4)
+        # formats 4/5 exist from LAS 1.3 (235-byte header); a 1.2 header
+        # declaring them would fail spec validators
+        assert h["version"] == (1, 3) and h["header_size"] == 235
         assert np.allclose(x2, x, atol=0.006)
         assert np.array_equal(c2, cls)
         assert np.allclose(h["_gps_time"], gps)
@@ -633,6 +636,14 @@ def test_laz_wavepacket13_roundtrip_formats_4_5():
         assert np.array_equal(got, wave)
     with pytest.raises(ValueError, match="requires gps_time"):
         laz.write_laz(x, y, z, cls, wavepacket=wave)
+    # a corrupt VLR size on a fixed-size item must refuse, not shift
+    # the interleaved raw-first-point layout and decode garbage
+    bad = bytearray(blob)
+    # string(16) + record-id/length(4) + description(32) + body head(34)
+    vlr_items_off = blob.index(b"laszip encoded\0\0") + 16 + 4 + 32 + 34
+    struct.pack_into("<3H", bad, vlr_items_off + 6 * 3, 9, 28, 1)
+    with pytest.raises(ValueError, match="spec size"):
+        laz.laz_chunk_plan(bytes(bad))
 
 
 def test_laz_wavepacket_through_distributed_source(spark, tmp_path):
