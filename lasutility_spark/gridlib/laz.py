@@ -1044,6 +1044,11 @@ def read_laz(data: bytes):
 
         return read_laz14(data)
     header, vlr, chunks = laz_chunk_plan(data, header=h, vlr=vlr0)
+    if not chunks:  # 0-point file: no chunks to decode
+        e = np.array([], np.float64)
+        header["_returns"] = np.array([], np.uint8)
+        header["_gps_time"] = e.copy()
+        return header, e, e.copy(), e.copy(), np.array([], np.uint8)
     parts = [decode_laz_chunk(data, vlr, s, c) for s, c in chunks]
     xs = np.concatenate([p[0] for p in parts])
     ys = np.concatenate([p[1] for p in parts])

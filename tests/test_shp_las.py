@@ -575,6 +575,27 @@ def test_las_uncompressed_waveform_formats_4_5_9_10():
         assert np.array_equal(h["_wave_return_loc"], wave_loc), fmt
 
 
+def test_laz_single_and_zero_point_files():
+    """Degenerate classic-item LAZ sizes round-trip (the laz14 twin of
+    this test already existed; the classic path crashed on 0 points)."""
+    from lasutility_spark.gridlib import laz
+
+    blob1 = laz.write_laz(
+        np.array([385000.25]), np.array([6672000.75]), np.array([101.5]),
+        np.array([5], np.uint8), gps_time=np.array([42.5]),
+    )
+    h, x, _y, _z, c = laz.read_laz(blob1)
+    assert len(x) == 1 and abs(x[0] - 385000.25) < 0.01
+    assert c[0] == 5 and h["_gps_time"][0] == 42.5
+
+    blob0 = laz.write_laz(
+        np.array([]), np.array([]), np.array([]), np.array([], np.uint8)
+    )
+    h0, x0, y0, z0, c0 = laz.read_laz(blob0)
+    assert len(x0) == len(y0) == len(z0) == len(c0) == 0
+    assert len(h0["_gps_time"]) == 0 and len(h0["_returns"]) == 0
+
+
 def test_laz_wavepacket13_roundtrip_formats_4_5():
     """WAVEPACKET13 v1 item (compressed point formats 4/5): the
     29-byte descriptor block rides every record both directions and
